@@ -1,0 +1,581 @@
+"""Pseudo-alignment: per-read API (``Read``) and aggregator (``PseudoAlignment``).
+
+``Read.pseudo_align`` is an exact host-side implementation of the per-read
+algorithm (reference kmer.py:357-526) against the array index -- used for
+the single-read API and as a readable specification.  Bulk alignment goes
+through the batched device pipeline (models/pipeline.py); both paths agree
+bit-for-bit (tested differentially).
+
+``PseudoAlignment`` keeps integer aggregation state (counters, per-record
+vectors, first-encounter order keys) that reconstructs the reference's
+dumpalign JSON -- including dict insertion orders and the downgrade
+double-count quirk (reference kmer.py:464-480,622-657) -- without holding
+Python dicts per read.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+from collections import namedtuple
+from enum import Enum
+from typing import Any, Dict, Iterable, List, Optional, Sequence
+
+import numpy as np
+
+from shotgun_tpu.index.build import pack_key64, rolling_encode
+from shotgun_tpu.io.packing import ReadBatch, encode_bases, pack_reads
+from shotgun_tpu.io.records import SeqRecord
+from shotgun_tpu.reference import KDBFormatError, KmerReference
+
+_INF = np.iinfo(np.int64).max
+
+
+class NotValidatingUniqueMapping(Exception):
+    def __init__(self, message: str) -> None:
+        super().__init__(message)
+
+
+class AddingExistingRead(Exception):
+    def __init__(self, message: str) -> None:
+        super().__init__(message)
+
+
+class ReadMappingType(Enum):
+    UNMAPPED = 1
+    UNIQUELY_MAPPED = 2
+    AMBIGUOUSLY_MAPPED = 3
+
+
+class KmerSpecifity(Enum):
+    SPECIFIC = 1
+    UNSPECIFIC = 2
+
+
+ReadKmer = namedtuple("ReadKmer", ["specifity", "references"])
+ReadMapping = namedtuple("ReadMapping", ["type", "genomes_mapped_to"])
+
+# device mtype codes (models/pipeline.py) -> ReadMappingType
+_MTYPE_FROM_CODE = {
+    0: ReadMappingType.UNMAPPED,
+    1: ReadMappingType.UNIQUELY_MAPPED,
+    2: ReadMappingType.AMBIGUOUSLY_MAPPED,
+}
+_CODE_FROM_MTYPE = {v: k for k, v in _MTYPE_FROM_CODE.items()}
+
+
+class Read:
+    """One sequencing read (reference kmer.py:357-526)."""
+
+    def __init__(self, fastaq_record: SeqRecord) -> None:
+        self.identifier: str = fastaq_record.identifier
+        self.mapping = ReadMapping(ReadMappingType.UNMAPPED, [])
+        self.kmers: Dict[str, ReadKmer] = {}
+        self._seq: str = fastaq_record["sequence"]
+        self._qual: str = fastaq_record["quality_sequence"]
+        self.num_quality_filtered_kmers: int = 0
+        self.num_redundant_kmers: int = 0
+        self._record_ids: List[int] = []  # mapping list as record indices
+
+    def mean_quality(self) -> float:
+        return sum(map(ord, self._qual)) / len(self._qual)
+
+    def kmer_quality(self, start: int, k: int) -> float:
+        return sum(map(ord, self._qual[start: start + k])) / k
+
+    def pseudo_align(
+        self,
+        kmer_reference: KmerReference,
+        m: int = 1,
+        p: int = 1,
+        min_read_quality: Optional[int] = None,
+        min_kmer_quality: Optional[int] = None,
+        max_genomes: Optional[int] = None,
+        debug: bool = False,
+    ) -> ReadMappingType:
+        if not (
+            isinstance(kmer_reference, KmerReference)
+            and isinstance(m, int)
+            and isinstance(p, int)
+            and (min_read_quality is None or isinstance(min_read_quality, int))
+            and (min_kmer_quality is None or isinstance(min_kmer_quality, int))
+            and (max_genomes is None or isinstance(max_genomes, int))
+            and isinstance(debug, bool)
+        ):
+            raise TypeError(
+                f"Invalid types given to pseudo align: {type(kmer_reference)}, "
+                f"{type(p)}, {type(m)}, {type(debug)}"
+            )
+        if m < 0:
+            raise ValueError("m must be bigger than or equal to 0")
+        if min_read_quality is not None and self.mean_quality() < min_read_quality:
+            return ReadMappingType.UNMAPPED
+
+        idx = kmer_reference.index
+        k = idx.k
+        codes = encode_bases(self._seq)
+        lo, hi, _ = rolling_encode(codes, k)
+        keys = pack_key64(lo, hi)
+        table_keys = pack_key64(idx.kmer_lo, idx.kmer_hi)
+        if keys.size and table_keys.size:
+            pos = np.searchsorted(table_keys, keys)
+            clamped = np.minimum(pos, table_keys.size - 1)
+            hits = np.where(table_keys[clamped] == keys, clamped, -1)
+        else:
+            hits = np.full(keys.size, -1, dtype=np.int64)
+
+        genome_counts = idx.genome_counts()
+        qual_ord = np.frombuffer(
+            self._qual.encode("ascii"), dtype=np.uint8
+        ).astype(np.int32)
+        qual_cs = np.concatenate([[0], np.cumsum(qual_ord)])
+
+        # ordered per-read k-mer store: kid -> (specific, record tuple)
+        stored: Dict[int, bool] = {}
+        for w in range(hits.size):
+            if min_kmer_quality is not None:
+                if qual_cs[w + k] - qual_cs[w] < min_kmer_quality * k:
+                    self.num_quality_filtered_kmers += 1
+                    continue
+            kid = int(hits[w])
+            if kid < 0:
+                continue
+            if max_genomes is not None and genome_counts[kid] > max_genomes:
+                self.num_redundant_kmers += 1
+                continue
+            if kid not in stored:
+                stored[kid] = genome_counts[kid] == 1
+
+        recs = kmer_reference._materialized_records()
+        for kid, specific in stored.items():
+            self.kmers[idx.kmer_string(kid)] = ReadKmer(
+                specifity=(
+                    KmerSpecifity.SPECIFIC if specific else KmerSpecifity.UNSPECIFIC
+                ),
+                references={
+                    recs[r]: set(int(x) for x in idx.positions_of(kid, r))
+                    for r in idx.records_of_kmer(kid)
+                },
+            )
+        if not stored:
+            return ReadMappingType.UNMAPPED
+
+        # specific / total distinct-k-mer counts in insertion order
+        spec_counts: Dict[int, int] = {}
+        total_counts: Dict[int, int] = {}
+        for kid, specific in stored.items():
+            for r in idx.records_of_kmer(kid):
+                r = int(r)
+                total_counts[r] = total_counts.get(r, 0) + 1
+                if specific:
+                    spec_counts[r] = spec_counts.get(r, 0) + 1
+
+        # m-decision (reference kmer.py:444-462)
+        unique = False
+        if len(spec_counts) == 1:
+            winner = next(iter(spec_counts))
+            unique = True
+        elif len(spec_counts) > 1:
+            by_count = sorted(spec_counts, key=lambda r: spec_counts[r], reverse=True)
+            if spec_counts[by_count[0]] >= spec_counts[by_count[1]] + m:
+                winner = by_count[0]
+                unique = True
+        if unique:
+            self._set_mapping(ReadMappingType.UNIQUELY_MAPPED, [winner], recs)
+            if debug:
+                print(
+                    "[DEBUG pseudo_align]: After try_to_align_specific "
+                    f"self.mapping: {self.mapping.type}"
+                )
+            # p-validation (reference kmer.py:464-480)
+            if p >= 0:
+                mt = total_counts.get(winner, 0)
+                max_total = max(total_counts.values(), default=0)
+                if max_total - mt > p:
+                    amb = [winner] + [r for r, c in total_counts.items() if c >= mt]
+                    self._set_mapping(ReadMappingType.AMBIGUOUSLY_MAPPED, amb, recs)
+            return self.mapping.type
+        self._set_mapping(
+            ReadMappingType.AMBIGUOUSLY_MAPPED, list(spec_counts.keys()), recs
+        )
+        if debug:
+            print(
+                "[DEBUG pseudo_align]: After try_to_align_specific "
+                f"self.mapping: {self.mapping.type}, mapped to: {self.mapping}"
+            )
+        return ReadMappingType.AMBIGUOUSLY_MAPPED
+
+    def _set_mapping(
+        self, mtype: ReadMappingType, record_ids: List[int], recs: List[SeqRecord]
+    ) -> None:
+        self._record_ids = [int(r) for r in record_ids]
+        self.mapping = ReadMapping(mtype, [recs[r] for r in self._record_ids])
+
+
+class PseudoAlignment:
+    """Aggregates read alignments against one KmerReference
+    (reference kmer.py:532-699)."""
+
+    def __init__(self, kmer_reference: KmerReference) -> None:
+        self.kmer_reference = kmer_reference
+        r = kmer_reference.index.num_records
+        # read store (arrays, not dicts)
+        self._read_ids: List[str] = []
+        self._mtypes: List[int] = []
+        self._list_flat: List[np.ndarray] = []
+        self._list_counts: List[int] = []
+        self._seen_ids: set = set()
+        self._store_reads = True
+        # aggregation state
+        self.filtered_quality_reads = 0
+        self.filtered_quality_kmers = 0
+        self.filtered_hr_kmers = 0
+        self._n_unique = 0
+        self._n_ambiguous = 0
+        self._n_unmapped = 0
+        self._unique_by_rec = np.zeros(r, dtype=np.int64)
+        self._amb_by_rec = np.zeros(r, dtype=np.int64)
+        self._first_batch = np.full(r, _INF, dtype=np.int64)
+        self._first_key = np.full(r, _INF, dtype=np.int64)
+        self._batch_no = 0
+
+        self.filter_read_quality_flag = False
+        self.filter_kmer_quality_flag = False
+        self.filter_max_genomes_flag = False
+
+    # -- single-read API ----------------------------------------------------
+
+    def add_read(self, read: Read) -> None:
+        if read.identifier in self._seen_ids:
+            raise AddingExistingRead(
+                f"There already exists a read with identifier: {read.identifier}"
+            )
+        self._seen_ids.add(read.identifier)
+        self._read_ids.append(read.identifier)
+        code = _CODE_FROM_MTYPE[read.mapping.type]
+        self._mtypes.append(code)
+        ids = np.asarray(read._record_ids, dtype=np.int64)
+        self._list_flat.append(ids)
+        self._list_counts.append(ids.size)
+        self._fold_single(code, ids)
+
+    def _fold_single(self, code: int, record_ids: np.ndarray) -> None:
+        if code == 1:
+            self._n_unique += 1
+        elif code == 2:
+            self._n_ambiguous += 1
+        else:
+            self._n_unmapped += 1
+        if code != 0:
+            np.add.at(self._amb_by_rec if code == 2 else self._unique_by_rec,
+                      record_ids, 1)
+            for pos, r in enumerate(record_ids):
+                key = pos  # within-read position
+                if self._first_batch[r] == _INF:
+                    self._first_batch[r] = self._batch_no
+                    self._first_key[r] = key
+        self._batch_no += 1
+
+    def add_read_from_read_record(
+        self,
+        read_record: SeqRecord,
+        m: int = 1,
+        p: int = 1,
+        min_read_quality: Optional[int] = None,
+        min_kmer_quality: Optional[int] = None,
+        max_genomes: Optional[int] = None,
+    ) -> None:
+        if min_read_quality is not None:
+            self.filter_read_quality_flag = True
+        if min_kmer_quality is not None:
+            self.filter_kmer_quality_flag = True
+        if max_genomes is not None:
+            self.filter_max_genomes_flag = True
+        read = Read(read_record)
+        if min_read_quality is not None and read.mean_quality() < min_read_quality:
+            self.filtered_quality_reads += 1
+            return
+        read.pseudo_align(
+            self.kmer_reference, m=m, p=p,
+            min_read_quality=min_read_quality,
+            min_kmer_quality=min_kmer_quality,
+            max_genomes=max_genomes,
+        )
+        if min_kmer_quality is not None:
+            self.filtered_quality_kmers += read.num_quality_filtered_kmers
+        if max_genomes is not None:
+            self.filtered_hr_kmers += read.num_redundant_kmers
+        self.add_read(read)
+
+    # -- batched device API ---------------------------------------------------
+
+    def align_reads_from_container(
+        self,
+        reads_container: Iterable[SeqRecord],
+        m: int = 1,
+        p: int = 1,
+        min_read_quality: Optional[int] = None,
+        min_kmer_quality: Optional[int] = None,
+        max_genomes: Optional[int] = None,
+        batch_size: int = 1024,
+        store_reads: bool = True,
+    ) -> None:
+        records = list(reads_container)
+        self.align_packed_reads(
+            pack_reads(records), m=m, p=p,
+            min_read_quality=min_read_quality,
+            min_kmer_quality=min_kmer_quality,
+            max_genomes=max_genomes,
+            batch_size=batch_size,
+            store_reads=store_reads,
+        )
+
+    def align_packed_reads(
+        self,
+        batch: ReadBatch,
+        m: int = 1,
+        p: int = 1,
+        min_read_quality: Optional[int] = None,
+        min_kmer_quality: Optional[int] = None,
+        max_genomes: Optional[int] = None,
+        batch_size: int = 1024,
+        store_reads: bool = True,
+    ) -> None:
+        import jax.numpy as jnp
+
+        from shotgun_tpu.models.pipeline import align_batch
+
+        if not isinstance(m, int) or not isinstance(p, int):
+            raise TypeError("m and p must be ints")
+        if m < 0:
+            raise ValueError("m must be bigger than or equal to 0")
+        if min_read_quality is not None:
+            self.filter_read_quality_flag = True
+        if min_kmer_quality is not None:
+            self.filter_kmer_quality_flag = True
+        if max_genomes is not None:
+            self.filter_max_genomes_flag = True
+
+        ref = self.kmer_reference
+        idx = ref.index
+        k = idx.k
+        ptable = ref.probe_table()
+        set_member = ref.set_member_dense()
+        table_dev = jnp.asarray(ptable.table)
+        member_dev = jnp.asarray(set_member)
+        r = idx.num_records
+
+        n = batch.num_reads
+        lpad = max(batch.max_len, k)
+        b = batch_size
+        m_t = jnp.int32(m)
+        p_t = jnp.int32(p)
+        mrq_t = jnp.int32(min_read_quality or 0)
+        mkq_t = jnp.int32(min_kmer_quality or 0)
+        mg_t = jnp.int32(max_genomes or 0)
+
+        for start in range(0, n, b):
+            rows = min(b, n - start)
+            codes = np.zeros((b, lpad), dtype=np.uint8)
+            qual = np.zeros((b, lpad), dtype=np.uint8)
+            lengths = np.zeros(b, dtype=np.int32)
+            codes[:rows, : batch.max_len] = batch.codes[start: start + rows]
+            qual[:rows, : batch.max_len] = batch.qual[start: start + rows]
+            lengths[:rows] = batch.lengths[start: start + rows]
+            row_valid = np.zeros(b, dtype=bool)
+            row_valid[:rows] = True
+
+            res, agg = align_batch(
+                table_dev, member_dev,
+                jnp.asarray(codes), jnp.asarray(qual), jnp.asarray(lengths),
+                jnp.asarray(row_valid),
+                m_t, p_t, mrq_t, mkq_t, mg_t,
+                k=k,
+                max_bucket_probe=ptable.max_bucket_probe,
+                has_mrq=min_read_quality is not None,
+                has_mkq=min_kmer_quality is not None,
+                has_mg=max_genomes is not None,
+            )
+            self._fold_agg(agg, r)
+            if store_reads:
+                self._store_batch_reads(
+                    res, batch.ids[start: start + rows], rows, r
+                )
+            self._batch_no += 1
+
+    def _fold_agg(self, agg, r: int) -> None:
+        self._n_unique += int(agg.n_unique)
+        self._n_ambiguous += int(agg.n_ambiguous)
+        self._n_unmapped += int(agg.n_unmapped)
+        if self.filter_read_quality_flag:
+            self.filtered_quality_reads += int(agg.n_filtered_reads)
+        if self.filter_kmer_quality_flag:
+            self.filtered_quality_kmers += int(agg.n_filtered_kmers)
+        if self.filter_max_genomes_flag:
+            self.filtered_hr_kmers += int(agg.n_hr_kmers)
+        self._unique_by_rec += np.asarray(agg.unique_by_rec, dtype=np.int64)[:r]
+        self._amb_by_rec += np.asarray(agg.amb_by_rec, dtype=np.int64)[:r]
+        key = np.asarray(agg.first_key, dtype=np.int64)[:r]
+        fresh = (key < int(0x3FFFFFFF)) & (self._first_batch == _INF)
+        self._first_batch[fresh] = self._batch_no
+        self._first_key[fresh] = key[fresh]
+
+    def _store_batch_reads(
+        self, res, ids: Sequence[str], rows: int, r: int
+    ) -> None:
+        mtype = np.asarray(res.mtype)[:rows]
+        winner = np.asarray(res.winner)[:rows]
+        downgraded = np.asarray(res.downgraded)[:rows]
+        amb_mask = np.asarray(res.amb_mask)[:rows, :r]
+        fw_sel = np.asarray(res.fw_sel)[:rows, :r].astype(np.int64)
+        filtered = np.asarray(res.read_filtered)[:rows]
+
+        r_iota = np.arange(r, dtype=np.int64)[None, :]
+        key = fw_sel * r + r_iota
+        key[np.arange(rows), winner] = np.where(
+            downgraded, -1, key[np.arange(rows), winner]
+        )
+        in_list = np.where(
+            (mtype == 1)[:, None], r_iota == winner[:, None], amb_mask
+        )
+        key = np.where(in_list, key, _INF)
+        order = np.argsort(key, axis=1, kind="stable")
+        in_sorted = np.take_along_axis(in_list, order, axis=1)
+
+        for i in range(rows):
+            if filtered[i]:
+                continue
+            rid = ids[i]
+            if rid in self._seen_ids:
+                raise AddingExistingRead(
+                    f"There already exists a read with identifier: {rid}"
+                )
+            self._seen_ids.add(rid)
+            self._read_ids.append(rid)
+            self._mtypes.append(
+                _CODE_FROM_MTYPE[_MTYPE_FROM_CODE[int(mtype[i])]]
+            )
+            lst = order[i][in_sorted[i]]
+            self._list_flat.append(lst)
+            self._list_counts.append(lst.size)
+
+    # -- summary (reference kmer.py:622-657) --------------------------------
+
+    def get_summary(self) -> Dict[str, Any]:
+        stats: Dict[str, int] = {
+            "unique_mapped_reads": self._n_unique,
+            "ambiguous_mapped_reads": self._n_ambiguous,
+            "unmapped_reads": self._n_unmapped,
+        }
+        if self.filter_read_quality_flag:
+            stats["filtered_quality_reads"] = self.filtered_quality_reads
+        if self.filter_kmer_quality_flag:
+            stats["filtered_quality_kmers"] = self.filtered_quality_kmers
+        if self.filter_max_genomes_flag:
+            stats["filtered_hr_kmers"] = self.filtered_hr_kmers
+
+        descs = self.kmer_reference.index.descriptions
+        order = np.lexsort((self._first_key, self._first_batch))
+        genome_mapping: Dict[str, Dict[str, int]] = {}
+        for rec in order:
+            if self._first_batch[rec] == _INF:
+                continue
+            desc = descs[rec]
+            entry = genome_mapping.setdefault(
+                desc, {"unique_reads": 0, "ambiguous_reads": 0}
+            )
+            entry["unique_reads"] += int(self._unique_by_rec[rec])
+            entry["ambiguous_reads"] += int(self._amb_by_rec[rec])
+        return {"Statistics": stats, "Summary": genome_mapping}
+
+    def get_reads_by_mapping_type(self, mapping_type: ReadMappingType) -> List[str]:
+        code = _CODE_FROM_MTYPE[mapping_type]
+        return [
+            rid for rid, c in zip(self._read_ids, self._mtypes) if c == code
+        ]
+
+    def export_summary_to_json(self, json_file: str) -> None:
+        with open(json_file, "w") as fh:
+            json.dump(self.get_summary(), fh, indent=4)
+
+    def __repr__(self) -> str:
+        return json.dumps(self.get_summary(), indent=4)
+
+    # -- persistence (.aln) --------------------------------------------------
+
+    def save(self, align_file: str) -> None:
+        buf = io.BytesIO()
+        self.kmer_reference.save_to(buf)
+        flat = (
+            np.concatenate(self._list_flat)
+            if self._list_flat else np.zeros(0, dtype=np.int64)
+        )
+        offsets = np.concatenate(
+            [[0], np.cumsum(np.asarray(self._list_counts, dtype=np.int64))]
+        )
+        meta = {
+            "format": "shotgun-tpu-aln",
+            "version": 1,
+            "flags": [
+                self.filter_read_quality_flag,
+                self.filter_kmer_quality_flag,
+                self.filter_max_genomes_flag,
+            ],
+            "counters": [
+                self._n_unique, self._n_ambiguous, self._n_unmapped,
+                self.filtered_quality_reads, self.filtered_quality_kmers,
+                self.filtered_hr_kmers, self._batch_no,
+            ],
+        }
+        with open(align_file, "wb") as fh:
+            np.savez_compressed(
+                fh,
+                meta=np.frombuffer(json.dumps(meta).encode("utf-8"), dtype=np.uint8),
+                read_ids=np.frombuffer(
+                    "\n".join(self._read_ids).encode("utf-8"), dtype=np.uint8
+                ),
+                mtypes=np.asarray(self._mtypes, dtype=np.int32),
+                list_flat=flat,
+                list_offsets=offsets,
+                unique_by_rec=self._unique_by_rec,
+                amb_by_rec=self._amb_by_rec,
+                first_batch=self._first_batch,
+                first_key=self._first_key,
+                kdb=np.frombuffer(buf.getvalue(), dtype=np.uint8),
+            )
+
+    @classmethod
+    def load(cls, align_file: str) -> "PseudoAlignment":
+        try:
+            with np.load(align_file, allow_pickle=False) as data:
+                meta = json.loads(bytes(data["meta"]).decode("utf-8"))
+                if meta.get("format") != "shotgun-tpu-aln":
+                    raise KDBFormatError("not a shotgun-tpu aln file")
+                kdb_bytes = bytes(data["kdb"])
+                ref = KmerReference.load(io.BytesIO(kdb_bytes))
+                out = cls(ref)
+                ids_blob = bytes(data["read_ids"]).decode("utf-8")
+                out._read_ids = ids_blob.split("\n") if ids_blob else []
+                out._mtypes = [int(x) for x in data["mtypes"]]
+                offsets = data["list_offsets"]
+                flat = data["list_flat"]
+                out._list_flat = [
+                    flat[offsets[i]: offsets[i + 1]]
+                    for i in range(len(offsets) - 1)
+                ]
+                out._list_counts = [int(x) for x in np.diff(offsets)]
+                out._seen_ids = set(out._read_ids)
+                out._unique_by_rec = data["unique_by_rec"]
+                out._amb_by_rec = data["amb_by_rec"]
+                out._first_batch = data["first_batch"]
+                out._first_key = data["first_key"]
+                (out._n_unique, out._n_ambiguous, out._n_unmapped,
+                 out.filtered_quality_reads, out.filtered_quality_kmers,
+                 out.filtered_hr_kmers, out._batch_no) = meta["counters"]
+                (out.filter_read_quality_flag, out.filter_kmer_quality_flag,
+                 out.filter_max_genomes_flag) = meta["flags"]
+                return out
+        except KDBFormatError:
+            raise
+        except Exception as exc:
+            raise KDBFormatError(f"cannot read alignment file: {exc}") from exc

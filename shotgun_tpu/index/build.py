@@ -1,0 +1,264 @@
+"""K-mer index construction: dense array replacement for the reference's
+``kmers: Dict[str, Dict[Record, Set[int]]]`` (reference kmer.py:130-150).
+
+Layout
+------
+Distinct k-mers are 2-bit packed into a (hi, lo) uint32 pair (k <= 31) and
+identified by their rank in sorted key order ("kmer id").  Alongside:
+
+* ``first_seen`` -- global scan index of each k-mer's first occurrence.
+  This reconstructs the reference's dict-insertion order for dumpref
+  (genome input order, then position order; reference kmer.py:141-150).
+* CSR postings sorted by (kmer id, scan order): the per-k-mer
+  {record -> positions} mapping, with record order inside a k-mer equal to
+  genome input order -- exactly the reference's nested dict insertion order.
+* Per-k-mer genome *bitmask sets*, deduplicated into a set table
+  (``set_masks``/``set_sizes``): the probe path resolves a k-mer to a set id
+  and gets specificity (|set| == 1) and the max-genomes gate from
+  ``set_sizes`` in O(1).
+
+K-mers containing N never enter the index (reference kmer.py:145).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from shotgun_tpu import constants
+from shotgun_tpu.io.packing import GenomeArrays
+
+_U32 = np.uint32
+_U64 = np.uint64
+
+
+def rolling_encode(codes: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All k-windows of a code array -> (lo, hi) uint32 pairs + validity.
+
+    Window i covers codes[i:i+k]; invalid when it contains an N.  Returns
+    empty arrays when k <= 0 or k > len(codes) (reference kmer.py:91-92).
+    """
+    n = codes.size
+    if k <= 0 or k > n:
+        z = np.zeros(0, dtype=_U32)
+        return z, z.copy(), np.zeros(0, dtype=bool)
+    w = n - k + 1
+    lo = np.zeros(w, dtype=_U32)
+    hi = np.zeros(w, dtype=_U32)
+    for j in range(k):
+        c = codes[j: j + w].astype(_U32)
+        hi = (hi << _U32(2)) | (lo >> _U32(30))
+        lo = (lo << _U32(2)) | (c & _U32(3))
+    bad = (codes >= constants.BASE_N).astype(np.int64)
+    cs = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(bad)])
+    valid = (cs[k:] - cs[:-k]) == 0
+    return lo, hi, valid
+
+
+def pack_key64(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    return (hi.astype(_U64) << _U64(32)) | lo.astype(_U64)
+
+
+def decode_kmer(lo: int, hi: int, k: int) -> str:
+    """(lo, hi) pair back to the k-mer string (for dumpref output)."""
+    val = (int(hi) << 32) | int(lo)
+    out = []
+    for j in range(k):
+        out.append("ACGT"[(val >> (2 * (k - 1 - j))) & 3])
+    return "".join(out)
+
+
+@dataclass
+class KmerIndex:
+    """Immutable array-form k-mer database over a set of genome records."""
+
+    k: int
+    # per input record (never filtered; EXTSIM marks records instead)
+    descriptions: List[str]
+    record_lengths: np.ndarray          # int64 [R]
+    kept: np.ndarray                    # bool  [R] (EXTSIM filtering)
+    # distinct k-mers (sorted key order)
+    kmer_lo: np.ndarray                 # uint32 [U]
+    kmer_hi: np.ndarray                 # uint32 [U]
+    first_seen: np.ndarray              # int64  [U] original global scan index
+    # CSR postings by kmer id, scan order inside each k-mer
+    post_offsets: np.ndarray            # int64 [U+1]
+    post_record: np.ndarray             # int32 [P]
+    post_pos: np.ndarray                # int64 [P]
+    # genome-set table
+    set_id: np.ndarray                  # int32 [U]
+    set_masks: np.ndarray               # uint8 [S, ceil(R/8)] record-bitmask
+    set_sizes: np.ndarray               # int32 [S] distinct records per set
+    similarity_info: Optional[Dict[str, Dict[str, object]]] = None
+
+    @property
+    def num_kmers(self) -> int:
+        return int(self.kmer_lo.size)
+
+    @property
+    def num_records(self) -> int:
+        return len(self.descriptions)
+
+    @property
+    def num_sets(self) -> int:
+        return int(self.set_sizes.size)
+
+    def genome_counts(self) -> np.ndarray:
+        """Distinct-record count per k-mer (the reference's
+        ``len(self.kmers[kmer])``)."""
+        return self.set_sizes[self.set_id]
+
+    def display_order(self) -> np.ndarray:
+        """K-mer ids in the reference's dict-insertion (first-seen) order."""
+        return np.argsort(self.first_seen, kind="stable")
+
+    def records_of_kmer(self, kid: int) -> np.ndarray:
+        """Record ids of one k-mer in insertion (genome input) order."""
+        sl = self.post_record[self.post_offsets[kid]: self.post_offsets[kid + 1]]
+        _, first = np.unique(sl, return_index=True)
+        return sl[np.sort(first)]
+
+    def positions_of(self, kid: int, record: int) -> np.ndarray:
+        sl = slice(self.post_offsets[kid], self.post_offsets[kid + 1])
+        mask = self.post_record[sl] == record
+        return self.post_pos[sl][mask]
+
+    def kmer_string(self, kid: int) -> str:
+        return decode_kmer(self.kmer_lo[kid], self.kmer_hi[kid], self.k)
+
+
+def _build_set_table(
+    inverse: np.ndarray, record_of_occ: np.ndarray, num_kmers: int, num_records: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-k-mer record bitmasks, deduplicated into a set table."""
+    gbytes = max((num_records + 7) // 8, 1)
+    masks = np.zeros((num_kmers, gbytes), dtype=np.uint8)
+    if inverse.size:
+        np.bitwise_or.at(
+            masks,
+            (inverse, (record_of_occ >> 3).astype(np.int64)),
+            (np.uint8(1) << (record_of_occ & 7).astype(np.uint8)),
+        )
+    set_masks, set_id = np.unique(masks, axis=0, return_inverse=True)
+    set_sizes = np.unpackbits(set_masks, axis=1).sum(axis=1).astype(np.int32)
+    return set_id.astype(np.int32).reshape(-1), set_masks, set_sizes
+
+
+def build_index(genomes: GenomeArrays, k: int) -> KmerIndex:
+    """Scan all genome records and assemble the array index."""
+    occ_lo: List[np.ndarray] = []
+    occ_hi: List[np.ndarray] = []
+    occ_rec: List[np.ndarray] = []
+    occ_pos: List[np.ndarray] = []
+    record_lengths = np.diff(genomes.offsets)
+    for r in range(genomes.num_records):
+        lo, hi, valid = rolling_encode(genomes.record_codes(r), k)
+        if lo.size == 0:
+            continue
+        idx = np.nonzero(valid)[0]
+        occ_lo.append(lo[idx])
+        occ_hi.append(hi[idx])
+        occ_rec.append(np.full(idx.size, r, dtype=np.int32))
+        occ_pos.append(idx.astype(np.int64))
+
+    if occ_lo:
+        all_lo = np.concatenate(occ_lo)
+        all_hi = np.concatenate(occ_hi)
+        all_rec = np.concatenate(occ_rec)
+        all_pos = np.concatenate(occ_pos)
+    else:
+        all_lo = np.zeros(0, dtype=_U32)
+        all_hi = np.zeros(0, dtype=_U32)
+        all_rec = np.zeros(0, dtype=np.int32)
+        all_pos = np.zeros(0, dtype=np.int64)
+
+    return _assemble(
+        k, genomes.descriptions, record_lengths,
+        all_lo, all_hi, all_rec, all_pos,
+        original_first_seen=None,
+    )
+
+
+def _assemble(
+    k: int,
+    descriptions: List[str],
+    record_lengths: np.ndarray,
+    all_lo: np.ndarray,
+    all_hi: np.ndarray,
+    all_rec: np.ndarray,
+    all_pos: np.ndarray,
+    original_first_seen: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+) -> KmerIndex:
+    keys = pack_key64(all_lo, all_hi)
+    uniq, inverse = np.unique(keys, return_inverse=True)
+    inverse = inverse.reshape(-1)
+    num_kmers = uniq.size
+    num_occ = keys.size
+
+    if original_first_seen is not None:
+        # carry over first-seen ranks from the pre-filter index
+        orig_keys, orig_fs = original_first_seen
+        first_seen = orig_fs[np.searchsorted(orig_keys, uniq)]
+    else:
+        first_seen = np.full(num_kmers, num_occ, dtype=np.int64)
+        if num_occ:
+            np.minimum.at(first_seen, inverse, np.arange(num_occ, dtype=np.int64))
+
+    order = np.argsort(inverse, kind="stable")
+    post_record = all_rec[order]
+    post_pos = all_pos[order]
+    counts = np.bincount(inverse, minlength=num_kmers) if num_occ else np.zeros(num_kmers, dtype=np.int64)
+    post_offsets = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(counts)])
+
+    set_id, set_masks, set_sizes = _build_set_table(
+        inverse, all_rec, num_kmers, len(descriptions)
+    )
+
+    return KmerIndex(
+        k=k,
+        descriptions=descriptions,
+        record_lengths=np.asarray(record_lengths, dtype=np.int64),
+        kept=np.ones(len(descriptions), dtype=bool),
+        kmer_lo=(uniq & _U64(0xFFFFFFFF)).astype(_U32),
+        kmer_hi=(uniq >> _U64(32)).astype(_U32),
+        first_seen=first_seen,
+        post_offsets=post_offsets,
+        post_record=post_record,
+        post_pos=post_pos,
+        set_id=set_id,
+        set_masks=set_masks,
+        set_sizes=set_sizes,
+    )
+
+
+def filter_records(index: KmerIndex, kept_record_ids: np.ndarray) -> KmerIndex:
+    """Drop postings of non-kept records, preserving original first-seen
+    order of surviving k-mers (the reference deletes dict entries in place,
+    so remaining keys keep their original insertion rank --
+    reference kmer.py:232-243)."""
+    kept_mask = np.zeros(index.num_records, dtype=bool)
+    kept_mask[kept_record_ids] = True
+
+    # expand CSR back into occurrence arrays and filter
+    kmer_of_occ = np.repeat(
+        np.arange(index.num_kmers, dtype=np.int64), np.diff(index.post_offsets)
+    )
+    occ_keep = kept_mask[index.post_record]
+    kmer_of_occ = kmer_of_occ[occ_keep]
+    rec = index.post_record[occ_keep]
+    pos = index.post_pos[occ_keep]
+    lo = index.kmer_lo[kmer_of_occ]
+    hi = index.kmer_hi[kmer_of_occ]
+
+    out = _assemble(
+        index.k, index.descriptions, index.record_lengths,
+        lo, hi, rec, pos,
+        original_first_seen=(
+            pack_key64(index.kmer_lo, index.kmer_hi), index.first_seen
+        ),
+    )
+    out.kept = kept_mask
+    out.similarity_info = index.similarity_info
+    return out

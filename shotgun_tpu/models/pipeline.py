@@ -1,0 +1,287 @@
+"""The flagship device pipeline: batched pseudo-alignment under one ``jit``.
+
+Per batch of packed reads, entirely on device:
+
+  1. rolling 2-bit k-mer encode                    (ops/encode.py)
+  2. integer quality gates: MRQ read gate, MKQ window gate
+     (raw-``ord`` means as exact integer comparisons;
+      reference kmer.py:394-408,419-421)
+  3. bucketized hash probe                         (ops/probe.py)
+  4. max-genomes gate                              (reference kmer.py:425-427)
+  5. first-occurrence dedupe of k-mer values within a read
+     (duplicate k-mers collapse; reference kmer.py:429)
+  6. per-record specific/total distinct-k-mer counts + first-window keys
+     (reconstructing the reference's dict-insertion orders)
+  7. the m/p decision procedure with the reference's exact tie-breaking
+     and downgrade quirks                          (reference kmer.py:444-480)
+
+Shapes are static per (B, L, R, S) configuration; scalar thresholds are
+traced so changing m/p/quality values never recompiles.
+
+``aggregate_batch`` folds per-read results into per-record counters and
+first-encounter order keys on device, so the dumpalign path ships only
+O(R) data back to the host per batch.  Under a sharded ``jit`` the
+reductions become XLA collectives over the data axis.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from shotgun_tpu.ops.encode import rolling_encode_jnp, window_quality_sums
+from shotgun_tpu.ops.probe import probe_kmers
+
+BIG = jnp.int32(0x3FFFFFFF)
+
+# ReadMappingType codes (device-side): reference kmer.py:41-47
+UNMAPPED, UNIQUELY_MAPPED, AMBIGUOUSLY_MAPPED = 0, 1, 2
+
+
+class BatchResult(NamedTuple):
+    """Per-read device outputs for one batch."""
+
+    mtype: jnp.ndarray          # int32 [B] 0/1/2
+    winner: jnp.ndarray         # int32 [B] record id (unique/downgraded rows)
+    downgraded: jnp.ndarray     # bool  [B]
+    amb_mask: jnp.ndarray       # bool  [B, R] members of the ambiguous list
+    fw_sel: jnp.ndarray         # int32 [B, R] first-window order key
+    read_filtered: jnp.ndarray  # bool  [B] MRQ-filtered (not added at all)
+    n_qual_kmers: jnp.ndarray   # int32 [B] per-occurrence MKQ filter count
+    n_hr_kmers: jnp.ndarray     # int32 [B] per-occurrence max-genomes count
+
+
+def align_batch_core(
+    table: jnp.ndarray,       # uint32 [n_buckets, SLOTS, 4]
+    set_member: jnp.ndarray,  # uint8  [S, R]
+    codes: jnp.ndarray,       # uint8  [B, L]
+    qual: jnp.ndarray,        # uint8  [B, L]
+    lengths: jnp.ndarray,     # int32  [B]
+    m: jnp.ndarray,           # int32 scalar
+    p: jnp.ndarray,           # int32 scalar
+    mrq: jnp.ndarray,         # int32 scalar (ignored unless has_mrq)
+    mkq: jnp.ndarray,         # int32 scalar
+    mg: jnp.ndarray,          # int32 scalar
+    *,
+    k: int,
+    max_bucket_probe: int,
+    has_mrq: bool,
+    has_mkq: bool,
+    has_mg: bool,
+) -> BatchResult:
+    b, l = codes.shape
+    w = l - k + 1
+    r = set_member.shape[1]
+    w_iota = jax.lax.broadcasted_iota(jnp.int32, (b, w), 1)
+    r_iota = jax.lax.broadcasted_iota(jnp.int32, (b, r), 1)
+
+    lo, hi = rolling_encode_jnp(codes, k)
+    lens = lengths.astype(jnp.int32)
+    valid = w_iota < (lens - jnp.int32(k - 1))[:, None]
+
+    # ---- quality gates (exact integer forms of raw-ord means) ----
+    if has_mrq:
+        total_q = jnp.sum(qual.astype(jnp.int32), axis=1)  # pads are 0
+        read_filtered = total_q < mrq * lens
+    else:
+        read_filtered = jnp.zeros((b,), dtype=bool)
+
+    if has_mkq:
+        qsum = window_quality_sums(qual, k)
+        kq_fail = valid & (qsum < mkq * jnp.int32(k))
+        kq_ok = valid & ~kq_fail
+        n_qual_kmers = jnp.sum(kq_fail, axis=1, dtype=jnp.int32)
+    else:
+        kq_ok = valid
+        n_qual_kmers = jnp.zeros((b,), dtype=jnp.int32)
+
+    # ---- probe + max-genomes gate ----
+    hit, sid, gcount = probe_kmers(table, lo, hi, max_bucket_probe)
+    hit = hit & kq_ok
+    if has_mg:
+        redundant = hit & (gcount > mg)
+        n_hr_kmers = jnp.sum(redundant, axis=1, dtype=jnp.int32)
+        stored = hit & ~redundant
+    else:
+        n_hr_kmers = jnp.zeros((b,), dtype=jnp.int32)
+        stored = hit
+
+    # ---- first-occurrence dedupe of equal k-mer values in a read ----
+    eq = (lo[:, :, None] == lo[:, None, :]) & (hi[:, :, None] == hi[:, None, :])
+    prev = (
+        jax.lax.broadcasted_iota(jnp.int32, (w, w), 1)
+        < jax.lax.broadcasted_iota(jnp.int32, (w, w), 0)
+    )  # prev[w, w'] == w' < w
+    dup = jnp.any(eq & stored[:, None, :] & prev[None], axis=2)
+    first_occ = stored & ~dup
+
+    # ---- per-record counts + first-window keys ----
+    mem = jnp.take(set_member, jnp.where(stored, sid, 0), axis=0)  # [B, W, R] u8
+    mem_f = mem.astype(jnp.float32)
+    fo_f = first_occ.astype(jnp.float32)
+    spec_w = first_occ & (gcount == 1)
+    spec_f = spec_w.astype(jnp.float32)
+    spec_counts = jnp.einsum(
+        "bwr,bw->br", mem_f, spec_f, preferred_element_type=jnp.float32
+    ).astype(jnp.int32)
+    total_counts = jnp.einsum(
+        "bwr,bw->br", mem_f, fo_f, preferred_element_type=jnp.float32
+    ).astype(jnp.int32)
+
+    in_set = mem > 0
+    w_col = w_iota[:, :, None]
+    fw_spec = jnp.min(
+        jnp.where(spec_w[:, :, None] & in_set, w_col, BIG), axis=1
+    ).astype(jnp.int32)
+    fw_total = jnp.min(
+        jnp.where(first_occ[:, :, None] & in_set, w_col, BIG), axis=1
+    ).astype(jnp.int32)
+
+    # ---- m-decision over specific counts (reference kmer.py:444-462) ----
+    has_kmers = jnp.any(first_occ, axis=1)
+    n_spec = jnp.sum((spec_counts > 0).astype(jnp.int32), axis=1)
+    maxc = jnp.max(spec_counts, axis=1)
+    tie_key = jnp.where(
+        (spec_counts == maxc[:, None]) & (spec_counts > 0), fw_spec, BIG
+    )
+    winner = jnp.argmin(tie_key, axis=1).astype(jnp.int32)
+    sc_excl = jnp.where(r_iota == winner[:, None], jnp.int32(-1), spec_counts)
+    second_val = jnp.max(sc_excl, axis=1)
+    unique_spec = (n_spec == 1) | ((n_spec > 1) & (maxc >= second_val + m))
+
+    # ---- p-validation / downgrade (reference kmer.py:464-480) ----
+    mt = jnp.take_along_axis(total_counts, winner[:, None], axis=1)[:, 0]
+    max_total = jnp.max(total_counts, axis=1)
+    downgraded = unique_spec & (p >= 0) & ((max_total - mt) > p)
+
+    is_unique = unique_spec & ~downgraded
+    mtype = jnp.where(
+        ~has_kmers,
+        jnp.int32(UNMAPPED),
+        jnp.where(is_unique, jnp.int32(UNIQUELY_MAPPED), jnp.int32(AMBIGUOUSLY_MAPPED)),
+    )
+    amb_mask = jnp.where(
+        downgraded[:, None], total_counts >= mt[:, None], spec_counts > 0
+    ) & (mtype == AMBIGUOUSLY_MAPPED)[:, None]
+    fw_sel = jnp.where(downgraded[:, None], fw_total, fw_spec)
+
+    return BatchResult(
+        mtype=mtype,
+        winner=winner,
+        downgraded=downgraded & (mtype == AMBIGUOUSLY_MAPPED),
+        amb_mask=amb_mask,
+        fw_sel=fw_sel,
+        read_filtered=read_filtered,
+        n_qual_kmers=n_qual_kmers,
+        n_hr_kmers=n_hr_kmers,
+    )
+
+
+class AggResult(NamedTuple):
+    """Per-batch counters, merged exactly across batches/shards (ints)."""
+
+    n_unique: jnp.ndarray        # int32 []
+    n_ambiguous: jnp.ndarray     # int32 []
+    n_unmapped: jnp.ndarray      # int32 []
+    n_filtered_reads: jnp.ndarray
+    n_filtered_kmers: jnp.ndarray
+    n_hr_kmers: jnp.ndarray
+    unique_by_rec: jnp.ndarray   # int32 [R]
+    amb_by_rec: jnp.ndarray      # int32 [R]
+    first_key: jnp.ndarray       # int32 [R] min of row*(R+2)+pos, BIG if absent
+
+
+def aggregate_batch(res: BatchResult, row_valid: jnp.ndarray) -> AggResult:
+    """Fold per-read outputs into per-record counters + order keys.
+
+    ``first_key`` reconstructs the reference's Summary dict insertion order
+    (reference kmer.py:639-654): per read, genomes are encountered in list
+    order; across reads, in input order.  pos-in-list is the rank of the
+    (first-window, record) key; a downgrade's prepended winner gets pos 0.
+    """
+    b, r = res.amb_mask.shape
+    r_iota = jax.lax.broadcasted_iota(jnp.int32, (b, r), 1)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (b, r), 0)
+
+    live = row_valid & ~res.read_filtered
+    is_u = live & (res.mtype == UNIQUELY_MAPPED)
+    is_a = live & (res.mtype == AMBIGUOUSLY_MAPPED)
+    is_n = live & (res.mtype == UNMAPPED)
+
+    winner_onehot = (r_iota == res.winner[:, None])
+    unique_by_rec = jnp.sum(
+        (winner_onehot & is_u[:, None]).astype(jnp.int32), axis=0
+    )
+    amb_inc = res.amb_mask.astype(jnp.int32) + jnp.where(
+        (res.downgraded & is_a)[:, None] & winner_onehot, 1, 0
+    )
+    amb_by_rec = jnp.sum(jnp.where(is_a[:, None], amb_inc, 0), axis=0)
+
+    # in-list membership + position
+    in_list = jnp.where(
+        is_u[:, None], winner_onehot, res.amb_mask & is_a[:, None]
+    )
+    key = res.fw_sel * jnp.int32(r) + r_iota  # lexicographic (fw, record)
+    key = jnp.where(
+        (res.downgraded & is_a)[:, None] & winner_onehot, jnp.int32(-1), key
+    )
+    key = jnp.where(in_list, key, BIG)
+    order = jnp.argsort(key, axis=1)
+    rank = jnp.argsort(order, axis=1).astype(jnp.int32)  # pos in sorted row
+    enc_key = jnp.where(in_list, row_iota * jnp.int32(r + 2) + rank, BIG)
+    first_key = jnp.min(enc_key, axis=0)
+
+    mask32 = lambda x: jnp.sum(x.astype(jnp.int32))
+    return AggResult(
+        n_unique=mask32(is_u),
+        n_ambiguous=mask32(is_a),
+        n_unmapped=mask32(is_n),
+        n_filtered_reads=jnp.sum(
+            (row_valid & res.read_filtered).astype(jnp.int32)
+        ),
+        n_filtered_kmers=jnp.sum(jnp.where(live, res.n_qual_kmers, 0)),
+        n_hr_kmers=jnp.sum(jnp.where(live, res.n_hr_kmers, 0)),
+        unique_by_rec=unique_by_rec,
+        amb_by_rec=amb_by_rec,
+        first_key=first_key,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "max_bucket_probe", "has_mrq", "has_mkq", "has_mg", "with_aggregate",
+    ),
+)
+def align_batch(
+    table,
+    set_member,
+    codes,
+    qual,
+    lengths,
+    row_valid,
+    m,
+    p,
+    mrq,
+    mkq,
+    mg,
+    *,
+    k: int,
+    max_bucket_probe: int,
+    has_mrq: bool,
+    has_mkq: bool,
+    has_mg: bool,
+    with_aggregate: bool = True,
+):
+    """Jitted entry: per-read results and (optionally) device aggregation."""
+    res = align_batch_core(
+        table, set_member, codes, qual, lengths, m, p, mrq, mkq, mg,
+        k=k, max_bucket_probe=max_bucket_probe,
+        has_mrq=has_mrq, has_mkq=has_mkq, has_mg=has_mg,
+    )
+    if with_aggregate:
+        return res, aggregate_batch(res, row_valid)
+    return res

@@ -1,0 +1,66 @@
+"""Numeric k-mer encoding shared by host (numpy) and device (jax.numpy).
+
+A k-mer (k <= 31) is 2-bit packed into a (lo, hi) uint32 pair -- TPUs have
+no native 64-bit integers, so the pair representation keeps every hot op in
+native uint32 lanes.  The hash used for table placement is a two-word
+xorshift-multiply mix; host table *build* and device *probe* must agree
+bit-for-bit, so both call these functions with their array module.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+# splitmix64-derived odd constants
+_C1 = 0x85EBCA6B
+_C2 = 0xC2B2AE35
+_C3 = 0x27D4EB2F
+_GOLDEN = 0x9E3779B9
+
+
+def mix32(lo, hi, xp=np):
+    """Hash a (lo, hi) uint32 pair to a uint32 bucket index basis."""
+    u = xp.uint32
+    h = (lo ^ u(_GOLDEN)) * u(_C1)
+    h = h ^ (h >> u(15))
+    h = (h ^ (hi * u(_C2))) * u(_C3)
+    h = h ^ (h >> u(13))
+    h = h * u(_C1)
+    h = h ^ (h >> u(16))
+    return h
+
+
+def rolling_encode_jnp(codes: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """[B, L] uint8 base codes -> ([B, W], [B, W]) uint32 k-mer (lo, hi).
+
+    Window w covers codes[:, w:w+k]; W = L - k + 1.  Pad/N positions produce
+    garbage values that callers must mask out via validity masks.
+    """
+    b, l = codes.shape
+    w = l - k + 1
+    assert w >= 1, "batch length must be >= k"
+    lo = jnp.zeros((b, w), dtype=jnp.uint32)
+    hi = jnp.zeros((b, w), dtype=jnp.uint32)
+    for j in range(k):
+        c = codes[:, j: j + w].astype(jnp.uint32)
+        hi = (hi << jnp.uint32(2)) | (lo >> jnp.uint32(30))
+        lo = (lo << jnp.uint32(2)) | (c & jnp.uint32(3))
+    return lo, hi
+
+
+def window_quality_sums(qual: jnp.ndarray, k: int) -> jnp.ndarray:
+    """[B, L] uint8 raw quality bytes -> [B, W] int32 window sums.
+
+    Integer sums let quality gates run as exact integer comparisons
+    (`sum < threshold * k`) instead of replicating Python float division
+    (reference kmer.py:401-408 computes mean-of-ord; comparing sums is
+    algebraically identical for integer thresholds)."""
+    b, l = qual.shape
+    w = l - k + 1
+    cs = jnp.cumsum(qual.astype(jnp.int32), axis=1)
+    zeros = jnp.zeros((b, 1), dtype=jnp.int32)
+    cs = jnp.concatenate([zeros, cs], axis=1)  # [B, L+1]
+    return cs[:, k: k + w] - cs[:, 0:w]

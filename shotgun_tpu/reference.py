@@ -1,0 +1,247 @@
+"""Public ``KmerReference``: the k-mer reference database facade.
+
+API-compatible with the reference's class of the same name
+(reference kmer.py:109-351): build from a FASTA container, optional EXTSIM
+filtering, string-keyed lookup, dumpref summary with exact dict orders,
+and save/load.  Internally everything is the array index of index/build.py
+plus a lazily-built device probe table.
+
+The on-disk ``.kdb`` container is an npz of the index arrays with a JSON
+metadata header -- same CLI role as the reference's gzipped pickle
+(reference kmer.py:265-282), but a portable, pickle-free format.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Dict, Iterable, List, Optional, Set
+
+import numpy as np
+
+from shotgun_tpu import constants
+from shotgun_tpu.index.build import KmerIndex, build_index, pack_key64
+from shotgun_tpu.index.extsim import apply_similarity_filter
+from shotgun_tpu.index.hashtable import ProbeTable, build_probe_table
+from shotgun_tpu.io.packing import pack_genomes
+from shotgun_tpu.io.records import SeqRecord
+
+
+class KDBFormatError(Exception):
+    """Raised when a .kdb/.aln container cannot be read (CLI maps this to
+    the reference's 'Error: Incorrect format of input file.' message)."""
+
+
+class KmerReference:
+    def __init__(
+        self,
+        k: int,
+        fasta_record_container: Optional[Iterable[SeqRecord]] = None,
+        filter_similar: bool = False,
+        similarity_threshold: float = 0.95,
+        _index: Optional[KmerIndex] = None,
+    ) -> None:
+        if filter_similar and not (0 <= similarity_threshold <= 1):
+            raise ValueError("similarity_threshold must be between 0 and 1")
+        if _index is not None:
+            self.index = _index
+        else:
+            records = list(fasta_record_container)
+            genomes = pack_genomes(records)
+            self.index = build_index(genomes, k)
+            self._records: Optional[List[SeqRecord]] = records
+            if filter_similar:
+                self.index = apply_similarity_filter(self.index, similarity_threshold)
+        if not hasattr(self, "_records"):
+            self._records = None
+        self._probe_table: Optional[ProbeTable] = None
+        self._set_member_dense: Optional[np.ndarray] = None
+
+    # ------------------------------------------------------------------
+    # reference-parity accessors
+    # ------------------------------------------------------------------
+
+    @property
+    def kmer_len(self) -> int:
+        return self.index.k
+
+    @property
+    def similarity_info(self) -> Optional[Dict[str, Dict[str, Any]]]:
+        return self.index.similarity_info
+
+    @property
+    def genomes(self) -> List[SeqRecord]:
+        """Kept genome records, input order (reference kmer.py:245-250)."""
+        recs = self._materialized_records()
+        return [recs[r] for r in range(self.index.num_records) if self.index.kept[r]]
+
+    def _materialized_records(self) -> List[SeqRecord]:
+        if self._records is None:
+            # reconstructed from a .kdb: genome strings are not retained
+            self._records = [
+                SeqRecord([("description", d), ("genome", "")])
+                for d in self.index.descriptions
+            ]
+        return self._records
+
+    def _encode_query(self, kmer: str) -> Optional[int]:
+        """k-mer string -> k-mer id, or None on miss/invalid."""
+        if len(kmer) != self.index.k:
+            return None
+        raw = np.frombuffer(kmer.encode("ascii", errors="replace"), dtype=np.uint8)
+        codes = constants.BASE_CODE_LUT[raw]
+        if (codes >= constants.BASE_N).any():
+            return None
+        val = 0
+        for c in codes:
+            val = (val << 2) | int(c)
+        key = np.uint64(val)
+        keys = pack_key64(self.index.kmer_lo, self.index.kmer_hi)
+        pos = int(np.searchsorted(keys, key))
+        if pos < keys.size and keys[pos] == key:
+            return pos
+        return None
+
+    def __getitem__(self, kmer: str) -> Optional[Dict[SeqRecord, Set[int]]]:
+        kid = self._encode_query(kmer)
+        if kid is None:
+            return None
+        return self._kmer_mapping(kid)
+
+    def get_kmer_references(self, kmer: str) -> Dict[SeqRecord, Set[int]]:
+        kid = self._encode_query(kmer)
+        return {} if kid is None else self._kmer_mapping(kid)
+
+    def _kmer_mapping(self, kid: int) -> Dict[SeqRecord, Set[int]]:
+        recs = self._materialized_records()
+        out: Dict[SeqRecord, Set[int]] = {}
+        for r in self.index.records_of_kmer(kid):
+            out[recs[r]] = set(int(x) for x in self.index.positions_of(kid, r))
+        return out
+
+    # ------------------------------------------------------------------
+    # dumpref summary (exact dict orders; reference kmer.py:300-329)
+    # ------------------------------------------------------------------
+
+    def get_summary(self) -> Dict[str, Any]:
+        idx = self.index
+        genome_counts = idx.genome_counts()
+        kmer_details: Dict[str, Dict[str, List[int]]] = {}
+        genome_summary: Dict[str, Dict[str, int]] = {}
+        genome_kmer_sets: Dict[str, Set[int]] = {}
+        for kid in idx.display_order():
+            kid = int(kid)
+            inner: Dict[str, List[int]] = {}
+            for r in idx.records_of_kmer(kid):
+                desc = idx.descriptions[r]
+                inner[desc] = sorted(int(x) for x in idx.positions_of(kid, r))
+                entry = genome_summary.setdefault(
+                    desc,
+                    {"total_bases": 0, "unique_kmers": 0, "multi_mapping_kmers": 0},
+                )
+                entry["total_bases"] = int(idx.record_lengths[r])
+                genome_kmer_sets.setdefault(desc, set()).add(kid)
+            kmer_details[idx.kmer_string(kid)] = inner
+        for desc, kset in genome_kmer_sets.items():
+            unique = sum(1 for kid in kset if genome_counts[kid] == 1)
+            genome_summary[desc]["unique_kmers"] = unique
+            genome_summary[desc]["multi_mapping_kmers"] = len(kset) - unique
+        summary: Dict[str, Any] = {"Kmers": kmer_details, "Summary": genome_summary}
+        if idx.similarity_info is not None:
+            summary["Similarity"] = idx.similarity_info
+        return summary
+
+    # ------------------------------------------------------------------
+    # persistence (.kdb)
+    # ------------------------------------------------------------------
+
+    def save(self, ref_file) -> None:
+        """Write the .kdb container to a path or binary file object."""
+        if hasattr(ref_file, "write"):
+            self.save_to(ref_file)
+            return
+        with open(ref_file, "wb") as fh:
+            self.save_to(fh)
+
+    def save_to(self, fh) -> None:
+        idx = self.index
+        meta = {
+            "format": "shotgun-tpu-kdb",
+            "version": 1,
+            "k": idx.k,
+            "descriptions": idx.descriptions,
+            "similarity_info": idx.similarity_info,
+        }
+        np.savez_compressed(
+            fh,
+            meta=np.frombuffer(json.dumps(meta).encode("utf-8"), dtype=np.uint8),
+            record_lengths=idx.record_lengths,
+            kept=idx.kept,
+            kmer_lo=idx.kmer_lo,
+            kmer_hi=idx.kmer_hi,
+            first_seen=idx.first_seen,
+            post_offsets=idx.post_offsets,
+            post_record=idx.post_record,
+            post_pos=idx.post_pos,
+            set_id=idx.set_id,
+            set_masks=idx.set_masks,
+            set_sizes=idx.set_sizes,
+        )
+
+    @classmethod
+    def load(cls, ref_file: str) -> "KmerReference":
+        idx = cls._load_index(ref_file)
+        return cls(idx.k, _index=idx)
+
+    @staticmethod
+    def _load_index(ref_file: str) -> KmerIndex:
+        try:
+            with np.load(ref_file, allow_pickle=False) as data:
+                meta = json.loads(bytes(data["meta"]).decode("utf-8"))
+                if meta.get("format") != "shotgun-tpu-kdb":
+                    raise KDBFormatError("not a shotgun-tpu kdb file")
+                return KmerIndex(
+                    k=int(meta["k"]),
+                    descriptions=list(meta["descriptions"]),
+                    record_lengths=data["record_lengths"],
+                    kept=data["kept"],
+                    kmer_lo=data["kmer_lo"],
+                    kmer_hi=data["kmer_hi"],
+                    first_seen=data["first_seen"],
+                    post_offsets=data["post_offsets"],
+                    post_record=data["post_record"],
+                    post_pos=data["post_pos"],
+                    set_id=data["set_id"],
+                    set_masks=data["set_masks"],
+                    set_sizes=data["set_sizes"],
+                    similarity_info=meta.get("similarity_info"),
+                )
+        except KDBFormatError:
+            raise
+        except Exception as exc:  # zip/npz/json corruption
+            raise KDBFormatError(f"cannot read reference file: {exc}") from exc
+
+    # ------------------------------------------------------------------
+    # device-side arrays
+    # ------------------------------------------------------------------
+
+    def probe_table(self) -> ProbeTable:
+        if self._probe_table is None:
+            idx = self.index
+            self._probe_table = build_probe_table(
+                idx.kmer_lo, idx.kmer_hi, idx.set_id, idx.genome_counts()
+            )
+        return self._probe_table
+
+    def set_member_dense(self, pad_to_multiple: int = 8) -> np.ndarray:
+        """[S, R_padded] uint8 record-membership matrix for the device."""
+        if self._set_member_dense is None:
+            idx = self.index
+            bits = np.unpackbits(idx.set_masks, axis=1, bitorder="little")
+            r = idx.num_records
+            rp = max(((r + pad_to_multiple - 1) // pad_to_multiple) * pad_to_multiple,
+                     pad_to_multiple)
+            dense = np.zeros((max(idx.num_sets, 1), rp), dtype=np.uint8)
+            if idx.num_sets:
+                dense[: idx.num_sets, :r] = bits[:, :r]
+            self._set_member_dense = dense
+        return self._set_member_dense
