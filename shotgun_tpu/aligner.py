@@ -340,10 +340,20 @@ class PseudoAlignment:
         max_genomes: Optional[int] = None,
         batch_size: int = 1024,
         store_reads: bool = True,
+        mesh=None,
     ) -> None:
+        """Align a packed batch on device.
+
+        ``mesh``: optional ``jax.sharding.Mesh`` with a 'data' axis -- reads
+        are sharded across it and merged with exact integer collectives
+        (requires ``store_reads=False``; output is shard-count invariant).
+        """
         import jax.numpy as jnp
 
         from shotgun_tpu.models.pipeline import align_batch
+
+        if mesh is not None and store_reads:
+            raise ValueError("mesh-sharded alignment requires store_reads=False")
 
         if not isinstance(m, int) or not isinstance(p, int):
             raise TypeError("m and p must be ints")
@@ -361,13 +371,23 @@ class PseudoAlignment:
         k = idx.k
         ptable = ref.probe_table()
         set_member = ref.set_member_dense()
-        table_dev = jnp.asarray(ptable.table)
-        member_dev = jnp.asarray(set_member)
         r = idx.num_records
 
         n = batch.num_reads
         lpad = max(batch.max_len, k)
         b = batch_size
+        if mesh is not None:
+            n_shards = mesh.shape["data"]
+            b = ((b + n_shards - 1) // n_shards) * n_shards
+            from shotgun_tpu.parallel.mesh import (
+                align_aggregate_sharded,
+                replicate,
+                shard_read_arrays,
+            )
+            table_dev, member_dev = replicate(mesh, ptable.table, set_member)
+        else:
+            table_dev = jnp.asarray(ptable.table)
+            member_dev = jnp.asarray(set_member)
         m_t = jnp.int32(m)
         p_t = jnp.int32(p)
         mrq_t = jnp.int32(min_read_quality or 0)
@@ -385,22 +405,35 @@ class PseudoAlignment:
             row_valid = np.zeros(b, dtype=bool)
             row_valid[:rows] = True
 
-            res, agg = align_batch(
-                table_dev, member_dev,
-                jnp.asarray(codes), jnp.asarray(qual), jnp.asarray(lengths),
-                jnp.asarray(row_valid),
-                m_t, p_t, mrq_t, mkq_t, mg_t,
-                k=k,
-                max_bucket_probe=ptable.max_bucket_probe,
-                has_mrq=min_read_quality is not None,
-                has_mkq=min_kmer_quality is not None,
-                has_mg=max_genomes is not None,
-            )
-            self._fold_agg(agg, r)
-            if store_reads:
-                self._store_batch_reads(
-                    res, batch.ids[start: start + rows], rows, r
+            if mesh is not None:
+                codes_d, qual_d, len_d, rv_d = shard_read_arrays(
+                    mesh, codes, qual, lengths, row_valid)
+                agg = align_aggregate_sharded(
+                    table_dev, member_dev, codes_d, qual_d, len_d, rv_d,
+                    m_t, p_t, mrq_t, mkq_t, mg_t,
+                    mesh=mesh, k=k,
+                    max_bucket_probe=ptable.max_bucket_probe,
+                    has_mrq=min_read_quality is not None,
+                    has_mkq=min_kmer_quality is not None,
+                    has_mg=max_genomes is not None,
                 )
+            else:
+                res, agg = align_batch(
+                    table_dev, member_dev,
+                    jnp.asarray(codes), jnp.asarray(qual), jnp.asarray(lengths),
+                    jnp.asarray(row_valid),
+                    m_t, p_t, mrq_t, mkq_t, mg_t,
+                    k=k,
+                    max_bucket_probe=ptable.max_bucket_probe,
+                    has_mrq=min_read_quality is not None,
+                    has_mkq=min_kmer_quality is not None,
+                    has_mg=max_genomes is not None,
+                )
+                if store_reads:
+                    self._store_batch_reads(
+                        res, batch.ids[start: start + rows], rows, r
+                    )
+            self._fold_agg(agg, r)
             self._batch_no += 1
 
     def _fold_agg(self, agg, r: int) -> None:

@@ -1,0 +1,361 @@
+"""Command-line interface: the reference's 4-task CLI, TPU-native engine.
+
+Tasks, flag grid, validation order, defaulting quirks and error strings
+replicate the reference CLI exactly (reference main.py:26-406), including:
+
+* truthiness-based task validation, so explicit ``0`` values slip through
+  the per-task allowed-flag checks (reference main.py:321-334);
+* ``-m 0`` / ``-p 0`` / ``--similarity-threshold 0`` silently coerced to
+  the defaults 1 / 1 / 0.95 (reference main.py:337-342);
+* ``--max-genomes 0`` honored (drops every k-mer that matches anything);
+* ``--reverse-complement`` accepted but inert (dead flag in the reference,
+  main.py:76);
+* unreadable/unwritable-file messages, "Unsupported task." and
+  "Error: Incorrect format of input file." verbatim.
+
+One deliberate deviation: the reference crashes with a raw TypeError when
+``align`` is given ``-g`` without ``-r`` (it tries to save the reference
+to ``None``, main.py:366-372); we exit with a clean error instead.
+"""
+
+from __future__ import annotations
+
+import argparse
+import gzip
+import json
+import os
+import sys
+from typing import List, Optional
+
+from shotgun_tpu.aligner import (
+    AddingExistingRead,
+    NotValidatingUniqueMapping,
+    PseudoAlignment,
+)
+from shotgun_tpu.constants import (
+    DEFAULT_AMBIGUOUS_THRESHOLD,
+    DEFAULT_SIMILARITY_THRESHOLD,
+    DEFAULT_UNIQUE_THRESHOLD,
+)
+from shotgun_tpu.io.data_file import (
+    FASTAFile,
+    FASTAQFile,
+    InvalidExtensionError,
+    NoRecordsInDataFile,
+)
+from shotgun_tpu.reference import KDBFormatError, KmerReference
+
+DEFAULT_BATCH_SIZE = 2048
+
+
+# ---------------------------------------------------------------------------
+# file validation (reference main.py:30-54)
+# ---------------------------------------------------------------------------
+
+def validate_file_readable(filepath: str, description: str) -> None:
+    if not os.path.isfile(filepath):
+        sys.exit(f"Error: {description} file '{filepath}' does not exist or is not a file.")
+    if not os.access(filepath, os.R_OK):
+        sys.exit(f"Error: {description} file '{filepath}' is not readable.")
+
+
+def validate_file_writable(filepath: str, description: str) -> None:
+    dir_path = os.path.dirname(filepath) or "."
+    if os.path.exists(filepath) and not os.access(filepath, os.W_OK):
+        sys.exit(f"Error: {description} file '{filepath}' is not writable.")
+    if not os.path.exists(filepath) and not os.access(dir_path, os.W_OK):
+        sys.exit(
+            f"Error: Directory '{dir_path}' is not writable to create "
+            f"{description} file '{filepath}'."
+        )
+
+
+# ---------------------------------------------------------------------------
+# argument parsing (reference main.py:61-82)
+# ---------------------------------------------------------------------------
+
+def parse_arguments(args: Optional[List[str]] = None) -> argparse.Namespace:
+    parser = argparse.ArgumentParser(prog="shotgun-tpu")
+    parser.add_argument("-t", "--task", required=True, help="Task to execute")
+    parser.add_argument("-g", "--genomefile", help="Genome FASTA file (multiple records)")
+    parser.add_argument("-k", "--kmer-size", type=int, help="Length of k-mers")
+    parser.add_argument("-r", "--referencefile", help="KDB file (input/output)")
+    parser.add_argument("-a", "--alignfile",
+                        help="aln file. Can be either input or name for output file")
+    parser.add_argument("--reads", help="FASTQ reads file")
+    parser.add_argument("-m", "--unique-threshold",
+                        help="unique k-mer threshold", type=int)
+    # the reference's flag name carries a typo ("threhold"); accept both
+    parser.add_argument("-p", "--ambiguous-threhold", "--ambiguous-threshold",
+                        dest="ambiguous_threhold",
+                        help="ambiguous k-mer threshold", type=int)
+    parser.add_argument("--reverse-complement", action="store_true")
+    parser.add_argument("--min-read-quality", type=int, default=None)
+    parser.add_argument("--min-kmer-quality", type=int, default=None)
+    parser.add_argument("--max-genomes", type=int, default=None)
+    parser.add_argument("--filter-similar", action="store_true")
+    parser.add_argument("--similarity-threshold", type=float)
+    parser.add_argument("--batch-size", type=int, default=DEFAULT_BATCH_SIZE,
+                        help="device batch size (TPU tuning; no effect on output)")
+    return parser.parse_args(args)
+
+
+# ---------------------------------------------------------------------------
+# orchestration helpers (reference main.py:89-310)
+# ---------------------------------------------------------------------------
+
+def create_reference(fasta_file: str, kmer_size: int,
+                     filter_similar: bool = False,
+                     similarity_threshold: float = 0.95) -> KmerReference:
+    container = FASTAFile(fasta_file).container
+    return KmerReference(kmer_size, container,
+                         filter_similar=filter_similar,
+                         similarity_threshold=similarity_threshold)
+
+
+def create_reference_and_save_it(fasta_file: str, kmer_size: int,
+                                 reference_file: str,
+                                 filter_similar: bool = False,
+                                 similarity_threshold: float = 0.95) -> None:
+    create_reference(
+        fasta_file, kmer_size, filter_similar, similarity_threshold
+    ).save(reference_file)
+
+
+def dump_reference(kmer_reference: KmerReference) -> None:
+    print(json.dumps(kmer_reference.get_summary(), indent=4))
+
+
+def dump_reference_file(reference_file: str) -> None:
+    try:
+        kmer_reference = KmerReference.load(reference_file)
+    except (KDBFormatError, gzip.BadGzipFile):
+        sys.exit("Error: Incorrect format of input file.")
+    dump_reference(kmer_reference)
+
+
+def build_reference_and_dump_from_file(fasta_file: str, kmer_size: int,
+                                       filter_similar: bool = False,
+                                       similarity_threshold: float = 0.95) -> None:
+    dump_reference(
+        create_reference(fasta_file, kmer_size, filter_similar, similarity_threshold)
+    )
+
+
+def create_alignment_from_reference(
+    kmer_reference: KmerReference, reads_file: str,
+    m: int, p: int, min_read_quality: Optional[int],
+    min_kmer_quality: Optional[int], max_genomes: Optional[int],
+    batch_size: int = DEFAULT_BATCH_SIZE, store_reads: bool = True,
+) -> PseudoAlignment:
+    reads_container = FASTAQFile(reads_file).container
+    alignment = PseudoAlignment(kmer_reference)
+    alignment.align_reads_from_container(
+        reads_container, m, p, min_read_quality, min_kmer_quality, max_genomes,
+        batch_size=batch_size, store_reads=store_reads,
+    )
+    return alignment
+
+
+def create_alignment_file_from_reference(
+    kmer_reference: KmerReference, reads_file: str, align_file: str,
+    m: int, p: int, min_read_quality: Optional[int],
+    min_kmer_quality: Optional[int], max_genomes: Optional[int],
+    batch_size: int = DEFAULT_BATCH_SIZE,
+) -> None:
+    create_alignment_from_reference(
+        kmer_reference, reads_file, m, p,
+        min_read_quality, min_kmer_quality, max_genomes,
+        batch_size=batch_size, store_reads=True,
+    ).save(align_file)
+
+
+def create_alignment_from_reference_file(
+    reference_file: str, reads_file: str, align_file: str,
+    m: int, p: int, min_read_quality: Optional[int],
+    min_kmer_quality: Optional[int], max_genomes: Optional[int],
+    batch_size: int = DEFAULT_BATCH_SIZE,
+) -> None:
+    try:
+        kmer_reference = KmerReference.load(reference_file)
+    except (KDBFormatError, gzip.BadGzipFile):
+        sys.exit("Error: Incorrect format of input file.")
+    create_alignment_file_from_reference(
+        kmer_reference, reads_file, align_file, m, p,
+        min_read_quality, min_kmer_quality, max_genomes, batch_size=batch_size,
+    )
+
+
+def dump_alignment_file(align_file: str) -> None:
+    try:
+        alignment = PseudoAlignment.load(align_file)
+    except (KDBFormatError, gzip.BadGzipFile):
+        sys.exit("Error: Incorrect format of input file.")
+    print(json.dumps(alignment.get_summary(), indent=4))
+
+
+def dump_alignment_from_reference(
+    reference_file: str, reads_file: str,
+    m: int, p: int, min_read_quality: Optional[int],
+    min_kmer_quality: Optional[int], max_genomes: Optional[int],
+    batch_size: int = DEFAULT_BATCH_SIZE,
+) -> None:
+    try:
+        kmer_reference = KmerReference.load(reference_file)
+    except (KDBFormatError, gzip.BadGzipFile):
+        sys.exit("Error: Incorrect format of input file.")
+    alignment = create_alignment_from_reference(
+        kmer_reference, reads_file, m, p,
+        min_read_quality, min_kmer_quality, max_genomes,
+        batch_size=batch_size, store_reads=False,
+    )
+    print(json.dumps(alignment.get_summary(), indent=4))
+
+
+def build_reference_align_and_dump(
+    fasta_file: str, kmer_size: int, reads_file: str,
+    m: int, p: int, min_read_quality: Optional[int],
+    min_kmer_quality: Optional[int], max_genomes: Optional[int],
+    filter_similar: bool = False, similarity_threshold: float = 0.95,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+) -> None:
+    kmer_reference = create_reference(
+        fasta_file, kmer_size, filter_similar, similarity_threshold
+    )
+    alignment = create_alignment_from_reference(
+        kmer_reference, reads_file, m, p,
+        min_read_quality, min_kmer_quality, max_genomes,
+        batch_size=batch_size, store_reads=False,
+    )
+    print(json.dumps(alignment.get_summary(), indent=4))
+
+
+# ---------------------------------------------------------------------------
+# entry point (reference main.py:317-402)
+# ---------------------------------------------------------------------------
+
+def main(argv: Optional[List[str]] = None) -> None:
+    args = parse_arguments(argv)
+
+    # Per-task flag-combination validation.  Deliberately truthiness-based:
+    # explicit 0 values pass, as in the reference (main.py:321-334).
+    if args.task == "reference":
+        if (args.reads or args.alignfile or args.unique_threshold
+                or args.ambiguous_threhold or args.min_read_quality
+                or args.min_kmer_quality or args.max_genomes):
+            sys.exit("Error: For task 'reference', only -g, -k, -r, "
+                     "--filter-similar, and --similarity-threshold are allowed.")
+    elif args.task == "dumpref":
+        if (args.reads or args.alignfile or args.unique_threshold
+                or args.ambiguous_threhold or args.min_read_quality
+                or args.min_kmer_quality or args.max_genomes):
+            sys.exit("Error: For task 'dumpref', only -r or (-g and -k) with "
+                     "--filter-similar and --similarity-threshold are allowed.")
+    elif args.task == "align":
+        if not ((args.referencefile and args.reads and args.alignfile)
+                or (args.genomefile and args.kmer_size and args.reads
+                    and args.alignfile)):
+            sys.exit("Error: For task 'align', provide either -r (reference file) "
+                     "or -g and -k (genome file and kmer size) along with "
+                     "--reads and -a.")
+    elif args.task == "dumpalign":
+        if not ((args.referencefile and args.reads)
+                or (args.genomefile and args.kmer_size and args.reads)
+                or args.alignfile):
+            sys.exit("Error: For task 'dumpalign', provide either -r and --reads, "
+                     "or -g, -k, and --reads, or -a.")
+    else:
+        sys.exit("Error: Unsupported task.")
+
+    # Defaulting mirrors the reference's truthiness quirk (main.py:337-342):
+    # explicit zeros are coerced to the defaults.
+    if not args.unique_threshold:
+        args.unique_threshold = DEFAULT_UNIQUE_THRESHOLD
+    if not args.ambiguous_threhold:
+        args.ambiguous_threhold = DEFAULT_AMBIGUOUS_THRESHOLD
+    if not args.similarity_threshold:
+        args.similarity_threshold = DEFAULT_SIMILARITY_THRESHOLD
+
+    try:
+        if args.task == "reference":
+            validate_file_readable(args.genomefile, "Genome FASTA")
+            validate_file_writable(args.referencefile, "Reference database output")
+            create_reference_and_save_it(
+                args.genomefile, args.kmer_size, args.referencefile,
+                args.filter_similar, args.similarity_threshold,
+            )
+        elif args.task == "dumpref":
+            if args.referencefile:
+                validate_file_readable(args.referencefile, "Reference database")
+                dump_reference_file(args.referencefile)
+            elif args.genomefile and args.kmer_size:
+                validate_file_readable(args.genomefile, "Genome FASTA")
+                build_reference_and_dump_from_file(
+                    args.genomefile, args.kmer_size,
+                    args.filter_similar, args.similarity_threshold,
+                )
+        elif args.task == "align":
+            validate_file_readable(args.reads, "FASTQ reads")
+            validate_file_writable(args.alignfile, "Alignment output")
+            if args.referencefile and args.reads and args.alignfile:
+                validate_file_readable(args.referencefile, "Reference database")
+                create_alignment_from_reference_file(
+                    args.referencefile, args.reads, args.alignfile,
+                    args.unique_threshold, args.ambiguous_threhold,
+                    args.min_read_quality, args.min_kmer_quality,
+                    args.max_genomes, batch_size=args.batch_size,
+                )
+            elif args.genomefile and args.kmer_size and args.reads and args.alignfile:
+                validate_file_readable(args.genomefile, "Genome FASTA")
+                if not args.referencefile:
+                    # reference crashes here (save to None, main.py:372);
+                    # we fail cleanly instead
+                    sys.exit("Error: For task 'align' with -g, also provide -r "
+                             "to store the reference database.")
+                kmer_ref = create_reference(
+                    args.genomefile, args.kmer_size,
+                    args.filter_similar, args.similarity_threshold,
+                )
+                kmer_ref.save(args.referencefile)
+                create_alignment_from_reference_file(
+                    args.referencefile, args.reads, args.alignfile,
+                    args.unique_threshold, args.ambiguous_threhold,
+                    args.min_read_quality, args.min_kmer_quality,
+                    args.max_genomes, batch_size=args.batch_size,
+                )
+        elif args.task == "dumpalign":
+            if args.referencefile and args.reads:
+                validate_file_readable(args.reads, "FASTQ reads")
+                dump_alignment_from_reference(
+                    args.referencefile, args.reads,
+                    args.unique_threshold, args.ambiguous_threhold,
+                    args.min_read_quality, args.min_kmer_quality,
+                    args.max_genomes, batch_size=args.batch_size,
+                )
+            elif args.genomefile and args.kmer_size and args.reads:
+                validate_file_readable(args.reads, "FASTQ reads")
+                validate_file_readable(args.genomefile, "Genome FASTA")
+                build_reference_align_and_dump(
+                    args.genomefile, args.kmer_size, args.reads,
+                    args.unique_threshold, args.ambiguous_threhold,
+                    args.min_read_quality, args.min_kmer_quality,
+                    args.max_genomes, args.filter_similar,
+                    args.similarity_threshold, batch_size=args.batch_size,
+                )
+            elif args.alignfile:
+                validate_file_readable(args.alignfile, "Alignment output")
+                dump_alignment_file(args.alignfile)
+            else:
+                sys.exit("Error: Provide either -g and -k with --reads, "
+                         "or -r with --reads, or -a.")
+        else:
+            sys.exit("Error: Unsupported task.")
+    except gzip.BadGzipFile:
+        sys.exit("Error: Incorrect format of input file.")
+    except (InvalidExtensionError, NoRecordsInDataFile,
+            NotValidatingUniqueMapping, AddingExistingRead, ValueError) as err:
+        sys.exit(err)
+
+
+if __name__ == "__main__":
+    main()

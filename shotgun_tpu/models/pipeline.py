@@ -32,6 +32,10 @@ from typing import Dict, NamedTuple
 import jax
 import jax.numpy as jnp
 
+from shotgun_tpu.utils.platform import configure_platform
+
+configure_platform()
+
 from shotgun_tpu.ops.encode import rolling_encode_jnp, window_quality_sums
 from shotgun_tpu.ops.probe import probe_kmers
 
