@@ -1,0 +1,137 @@
+#!/usr/bin/env python3
+"""Benchmark: pseudo-align throughput on the attached accelerator.
+
+Workload mirrors BASELINE.md: 5 genomes x 200 kbp (1 Mbp), k=31,
+error-free 150 bp reads, no filters.  The reference's measured CPU
+baseline on this exact workload is ~4,900 reads/s (BASELINE.md).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "reads/s", "vs_baseline": N}
+Secondary metrics (probe rate, DB build, end-to-end incl. transfers) go to
+stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_READS_PER_SEC = 4900.0
+
+N_GENOMES = 5
+GENOME_LEN = 200_000
+N_READS = 262_144
+READ_LEN = 150
+K = 31
+BATCH = 8192
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from shotgun_tpu.index.build import build_index
+    from shotgun_tpu.index.hashtable import build_probe_table
+    from shotgun_tpu.models.pipeline import align_batch
+    from shotgun_tpu.reference import KmerReference
+    from shotgun_tpu.utils.synth import synth_genomes, synth_reads
+
+    log(f"devices: {jax.devices()}")
+    rng = np.random.default_rng(0)
+
+    t0 = time.perf_counter()
+    genomes = synth_genomes(rng, N_GENOMES, GENOME_LEN)
+    reads = synth_reads(rng, genomes, N_READS, READ_LEN)
+    log(f"synth data: {time.perf_counter() - t0:.2f}s")
+
+    t0 = time.perf_counter()
+    idx = build_index(genomes, K)
+    build_s = time.perf_counter() - t0
+    total_mbp = N_GENOMES * GENOME_LEN / 1e6
+    log(f"DB build: {build_s:.2f}s  ({total_mbp / build_s:.2f} Mbp/s, "
+        f"{idx.num_kmers} kmers, {idx.num_sets} sets)")
+
+    t0 = time.perf_counter()
+    ref = KmerReference(K, _index=idx)
+    pt = ref.probe_table()
+    member = ref.set_member_dense()
+    log(f"probe table: {time.perf_counter() - t0:.2f}s  "
+        f"({pt.n_buckets} buckets, max_probe={pt.max_bucket_probe}, "
+        f"{pt.table.nbytes / 1e6:.1f} MB)")
+
+    table_d = jnp.asarray(pt.table)
+    member_d = jnp.asarray(member)
+    zero = jnp.int32(0)
+    one = jnp.int32(1)
+
+    def run_batch(codes_d, qual_d, len_d, rv_d):
+        return align_batch(
+            table_d, member_d, codes_d, qual_d, len_d, rv_d,
+            one, one, zero, zero, zero,
+            k=K, max_bucket_probe=pt.max_bucket_probe,
+            has_mrq=False, has_mkq=False, has_mg=False,
+            with_aggregate=True,
+        )[1]
+
+    # pre-stage batches on device
+    n_batches = N_READS // BATCH
+    staged = []
+    t0 = time.perf_counter()
+    for i in range(n_batches):
+        sl = slice(i * BATCH, (i + 1) * BATCH)
+        staged.append((
+            jnp.asarray(reads.codes[sl]),
+            jnp.asarray(reads.qual[sl]),
+            jnp.asarray(reads.lengths[sl]),
+            jnp.ones(BATCH, dtype=bool),
+        ))
+    jax.block_until_ready(staged[-1])
+    log(f"staging {n_batches} batches: {time.perf_counter() - t0:.2f}s")
+
+    # compile + warmup
+    t0 = time.perf_counter()
+    agg = run_batch(*staged[0])
+    jax.block_until_ready(agg)
+    log(f"compile+first batch: {time.perf_counter() - t0:.2f}s")
+    log(f"sanity: unique={int(agg.n_unique)} amb={int(agg.n_ambiguous)} "
+        f"unmapped={int(agg.n_unmapped)} of {BATCH}")
+
+    # timed steady-state: async dispatch all, block at end
+    t0 = time.perf_counter()
+    results = [run_batch(*s) for s in staged]
+    jax.block_until_ready(results)
+    align_s = time.perf_counter() - t0
+    reads_per_s = n_batches * BATCH / align_s
+    probes_per_s = reads_per_s * (READ_LEN - K + 1)
+    log(f"aligned {n_batches * BATCH} reads in {align_s:.3f}s")
+    log(f"throughput: {reads_per_s:,.0f} reads/s, {probes_per_s / 1e6:,.1f} M probes/s")
+
+    # end-to-end including host->device transfer
+    t0 = time.perf_counter()
+    e2e = []
+    for i in range(n_batches):
+        sl = slice(i * BATCH, (i + 1) * BATCH)
+        e2e.append(run_batch(
+            jnp.asarray(reads.codes[sl]), jnp.asarray(reads.qual[sl]),
+            jnp.asarray(reads.lengths[sl]), jnp.ones(BATCH, dtype=bool)))
+    jax.block_until_ready(e2e)
+    e2e_s = time.perf_counter() - t0
+    log(f"end-to-end (incl. transfers): {n_batches * BATCH / e2e_s:,.0f} reads/s")
+
+    print(json.dumps({
+        "metric": "pseudo_align_reads_per_sec_k31",
+        "value": round(reads_per_s, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(reads_per_s / BASELINE_READS_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
