@@ -63,20 +63,20 @@ def main():
     pt = ref.probe_table()
     member = ref.set_member_dense()
     log(f"probe table: {time.perf_counter() - t0:.2f}s  "
-        f"({pt.n_buckets} buckets, max_probe={pt.max_bucket_probe}, "
+        f"({pt.n_buckets} buckets, stash={pt.stash.shape[0]}, "
         f"{pt.table.nbytes / 1e6:.1f} MB)")
 
     table_d = jnp.asarray(pt.table)
+    stash_d = jnp.asarray(pt.stash)
     member_d = jnp.asarray(member)
     zero = jnp.int32(0)
     one = jnp.int32(1)
 
     def run_batch(codes_d, qual_d, len_d, rv_d):
         return align_batch(
-            table_d, member_d, codes_d, qual_d, len_d, rv_d,
+            table_d, stash_d, member_d, codes_d, qual_d, len_d, rv_d,
             one, one, zero, zero, zero,
-            k=K, max_bucket_probe=pt.max_bucket_probe,
-            has_mrq=False, has_mkq=False, has_mg=False,
+            k=K, has_mrq=False, has_mkq=False, has_mg=False,
             with_aggregate=True,
         )[1]
 

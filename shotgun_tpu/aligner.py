@@ -384,9 +384,11 @@ class PseudoAlignment:
                 replicate,
                 shard_read_arrays,
             )
-            table_dev, member_dev = replicate(mesh, ptable.table, set_member)
+            table_dev, stash_dev, member_dev = replicate(
+                mesh, ptable.table, ptable.stash, set_member)
         else:
             table_dev = jnp.asarray(ptable.table)
+            stash_dev = jnp.asarray(ptable.stash)
             member_dev = jnp.asarray(set_member)
         m_t = jnp.int32(m)
         p_t = jnp.int32(p)
@@ -409,22 +411,21 @@ class PseudoAlignment:
                 codes_d, qual_d, len_d, rv_d = shard_read_arrays(
                     mesh, codes, qual, lengths, row_valid)
                 agg = align_aggregate_sharded(
-                    table_dev, member_dev, codes_d, qual_d, len_d, rv_d,
+                    table_dev, stash_dev, member_dev,
+                    codes_d, qual_d, len_d, rv_d,
                     m_t, p_t, mrq_t, mkq_t, mg_t,
                     mesh=mesh, k=k,
-                    max_bucket_probe=ptable.max_bucket_probe,
                     has_mrq=min_read_quality is not None,
                     has_mkq=min_kmer_quality is not None,
                     has_mg=max_genomes is not None,
                 )
             else:
                 res, agg = align_batch(
-                    table_dev, member_dev,
+                    table_dev, stash_dev, member_dev,
                     jnp.asarray(codes), jnp.asarray(qual), jnp.asarray(lengths),
                     jnp.asarray(row_valid),
                     m_t, p_t, mrq_t, mkq_t, mg_t,
                     k=k,
-                    max_bucket_probe=ptable.max_bucket_probe,
                     has_mrq=min_read_quality is not None,
                     has_mkq=min_kmer_quality is not None,
                     has_mg=max_genomes is not None,

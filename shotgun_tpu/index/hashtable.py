@@ -1,16 +1,18 @@
-"""Bucketized open-addressing hash table for device-side k-mer probing.
+"""Single-gather hash table for device-side k-mer probing.
 
-Replaces the reference's Python dict probe (reference kmer.py:292-298) with
-a TPU-friendly layout: the table is a dense uint32 array of shape
-[n_buckets, SLOTS, 4] holding (key_lo, key_hi, set_id, genome_count) per
-slot.  A probe hashes the packed k-mer to a bucket, gathers the whole
-bucket row in one dynamic gather, and compares all SLOTS keys vectorized.
-Keys that overflow their bucket spill to the following bucket(s); the
-maximum spill distance is recorded at build time and unrolled statically in
-the probe, so device control flow stays data-independent.
+TPU-first design constraint: XLA's dynamic gather costs ~30ms per million
+rows on v5e regardless of row width, so the probe must issue exactly ONE
+bucket gather per query.  The build guarantees it: every key lives in its
+primary bucket; keys that would overflow go to a tiny *stash* that the
+probe resolves with an all-lanes broadcast compare (VPU work, no gather).
+If the stash exceeds its cap the table doubles and rebuilds -- for random
+k-mer keys at the default sizing the stash is almost always empty.
 
-Exactness: full (lo, hi) keys are compared, never just the hash, so
-collisions resolve completely (survey §7.3.4).
+Layout: ``table[n_buckets, SLOTS, 4]`` uint32 rows of
+(key_lo, key_hi, set_id, genome_count); empty slots have set_id == EMPTY.
+Full 62-bit keys are compared, never hashes, so collisions resolve exactly
+(survey §7.3.4).  Replaces the reference's Python dict probe
+(reference kmer.py:292-298).
 """
 
 from __future__ import annotations
@@ -23,6 +25,7 @@ from shotgun_tpu.ops.encode import mix32
 
 SLOTS = 8
 EMPTY = np.uint32(0xFFFFFFFF)
+STASH_CAP = 64
 
 
 @dataclass
@@ -31,12 +34,16 @@ class ProbeTable:
 
     table: np.ndarray       # uint32 [n_buckets, SLOTS, 4]
     n_buckets: int          # power of two
-    max_bucket_probe: int   # number of consecutive buckets a probe must scan
+    stash: np.ndarray       # uint32 [stash_n, 4] overflow keys (maybe empty)
     num_keys: int
+
+    # retained for compatibility: number of bucket gathers a probe needs
+    # (always 1 in this design)
+    max_bucket_probe: int = 1
 
     @property
     def nbytes(self) -> int:
-        return self.table.nbytes
+        return self.table.nbytes + self.stash.nbytes
 
 
 def _next_pow2(x: int) -> int:
@@ -48,48 +55,48 @@ def build_probe_table(
     kmer_hi: np.ndarray,
     set_id: np.ndarray,
     genome_count: np.ndarray,
-    target_load: float = 0.5,
+    slots_per_bucket: int = SLOTS,
+    stash_cap: int = STASH_CAP,
 ) -> ProbeTable:
-    """Place every distinct k-mer into the bucketized table.
-
-    Placement is deterministic: keys are assigned in key-sorted order;
-    within a bucket, slots fill in arrival order; overflow walks to the
-    next bucket.  With an average bucket occupancy of SLOTS * target_load,
-    spills beyond 1-2 buckets are vanishingly rare.
-    """
+    """Place every distinct k-mer in its primary bucket (single-gather
+    guarantee) with overflow spilling to the stash."""
     u = kmer_lo.size
-    n_buckets = _next_pow2(max(int(u / (SLOTS * target_load)), 1))
-    mask = np.uint32(n_buckets - 1)
+    # ~2 expected keys per 8-slot bucket: overflow probability per bucket
+    # is ~1e-5, so the stash stays tiny even for multi-million-key tables
+    n_buckets = _next_pow2(max(u // (slots_per_bucket // 4), 1))
+    while True:
+        table, stash_idx = _try_build(
+            kmer_lo, kmer_hi, set_id, genome_count, n_buckets, slots_per_bucket
+        )
+        if stash_idx.size <= stash_cap:
+            break
+        n_buckets *= 2
+    stash = np.empty((stash_idx.size, 4), dtype=np.uint32)
+    stash[:, 0] = kmer_lo[stash_idx]
+    stash[:, 1] = kmer_hi[stash_idx]
+    stash[:, 2] = set_id[stash_idx].astype(np.uint32)
+    stash[:, 3] = genome_count[stash_idx].astype(np.uint32)
+    return ProbeTable(
+        table=table, n_buckets=n_buckets, stash=stash, num_keys=int(u)
+    )
 
-    table = np.empty((n_buckets, SLOTS, 4), dtype=np.uint32)
-    table[..., 2] = EMPTY  # set_id == EMPTY marks a free slot
-    fill = np.zeros(n_buckets, dtype=np.int64)
+
+def _try_build(kmer_lo, kmer_hi, set_id, genome_count, n_buckets, slots):
+    u = kmer_lo.size
+    mask = np.uint32(n_buckets - 1)
+    table = np.empty((n_buckets, slots, 4), dtype=np.uint32)
+    table[..., 2] = EMPTY
 
     bucket = (mix32(kmer_lo, kmer_hi, np) & mask).astype(np.int64)
-    pending = np.arange(u, dtype=np.int64)
-    max_probe = 0
-    while pending.size:
-        b = bucket[pending]
-        order = np.argsort(b, kind="stable")
-        b_sorted = b[order]
-        keys_sorted = pending[order]
-        # rank of each key within its bucket's contenders this round
-        group_start = np.searchsorted(b_sorted, b_sorted)
-        rank = np.arange(b_sorted.size, dtype=np.int64) - group_start
-        slot = fill[b_sorted] + rank
-        placed = slot < SLOTS
-        pk, pb, ps = keys_sorted[placed], b_sorted[placed], slot[placed]
-        table[pb, ps, 0] = kmer_lo[pk]
-        table[pb, ps, 1] = kmer_hi[pk]
-        table[pb, ps, 2] = set_id[pk].astype(np.uint32)
-        table[pb, ps, 3] = genome_count[pk].astype(np.uint32)
-        np.add.at(fill, pb, 1)
-        pending = keys_sorted[~placed]
-        bucket[pending] = (bucket[pending] + 1) & int(mask)
-        max_probe += 1
-    return ProbeTable(
-        table=table,
-        n_buckets=n_buckets,
-        max_bucket_probe=max(max_probe, 1),
-        num_keys=int(u),
-    )
+    order = np.argsort(bucket, kind="stable")
+    b_sorted = bucket[order]
+    # rank of each key within its bucket
+    group_start = np.searchsorted(b_sorted, b_sorted)
+    rank = np.arange(u, dtype=np.int64) - group_start
+    placed = rank < slots
+    pk = order[placed]
+    table[b_sorted[placed], rank[placed], 0] = kmer_lo[pk]
+    table[b_sorted[placed], rank[placed], 1] = kmer_hi[pk]
+    table[b_sorted[placed], rank[placed], 2] = set_id[pk].astype(np.uint32)
+    table[b_sorted[placed], rank[placed], 3] = genome_count[pk].astype(np.uint32)
+    return table, order[~placed]

@@ -58,8 +58,14 @@ class BatchResult(NamedTuple):
     n_hr_kmers: jnp.ndarray     # int32 [B] per-occurrence max-genomes count
 
 
+#: widest set-space (distinct genome-set count) for which counts run in
+#: dense one-hot + MXU-matmul form; larger tables fall back to a gather
+SET_DENSE_MAX = 64
+
+
 def align_batch_core(
     table: jnp.ndarray,       # uint32 [n_buckets, SLOTS, 4]
+    stash: jnp.ndarray,       # uint32 [stash_n, 4] overflow keys
     set_member: jnp.ndarray,  # uint8  [S, R]
     codes: jnp.ndarray,       # uint8  [B, L]
     qual: jnp.ndarray,        # uint8  [B, L]
@@ -71,7 +77,6 @@ def align_batch_core(
     mg: jnp.ndarray,          # int32 scalar
     *,
     k: int,
-    max_bucket_probe: int,
     has_mrq: bool,
     has_mkq: bool,
     has_mg: bool,
@@ -103,7 +108,7 @@ def align_batch_core(
         n_qual_kmers = jnp.zeros((b,), dtype=jnp.int32)
 
     # ---- probe + max-genomes gate ----
-    hit, sid, gcount = probe_kmers(table, lo, hi, max_bucket_probe)
+    hit, sid, gcount, slot_pos = probe_kmers(table, stash, lo, hi)
     hit = hit & kq_ok
     if has_mg:
         redundant = hit & (gcount > mg)
@@ -114,7 +119,9 @@ def align_batch_core(
         stored = hit
 
     # ---- first-occurrence dedupe of equal k-mer values in a read ----
-    eq = (lo[:, :, None] == lo[:, None, :]) & (hi[:, :, None] == hi[:, None, :])
+    # equal k-mer values share a unique table slot, so one int32 compare
+    # suffices (misses are -1 but carry stored=False)
+    eq = slot_pos[:, :, None] == slot_pos[:, None, :]
     prev = (
         jax.lax.broadcasted_iota(jnp.int32, (w, w), 1)
         < jax.lax.broadcasted_iota(jnp.int32, (w, w), 0)
@@ -123,26 +130,56 @@ def align_batch_core(
     first_occ = stored & ~dup
 
     # ---- per-record counts + first-window keys ----
-    mem = jnp.take(set_member, jnp.where(stored, sid, 0), axis=0)  # [B, W, R] u8
-    mem_f = mem.astype(jnp.float32)
-    fo_f = first_occ.astype(jnp.float32)
     spec_w = first_occ & (gcount == 1)
-    spec_f = spec_w.astype(jnp.float32)
-    spec_counts = jnp.einsum(
-        "bwr,bw->br", mem_f, spec_f, preferred_element_type=jnp.float32
-    ).astype(jnp.int32)
-    total_counts = jnp.einsum(
-        "bwr,bw->br", mem_f, fo_f, preferred_element_type=jnp.float32
-    ).astype(jnp.int32)
-
-    in_set = mem > 0
+    s = set_member.shape[0]
+    member_f = set_member.astype(jnp.float32)          # [S, R]
+    member_b = set_member > 0                          # [S, R]
     w_col = w_iota[:, :, None]
-    fw_spec = jnp.min(
-        jnp.where(spec_w[:, :, None] & in_set, w_col, BIG), axis=1
-    ).astype(jnp.int32)
-    fw_total = jnp.min(
-        jnp.where(first_occ[:, :, None] & in_set, w_col, BIG), axis=1
-    ).astype(jnp.int32)
+    if s <= SET_DENSE_MAX:
+        # set-space path: reduce over W in set space (one-hot, VPU), then
+        # project into record space on the MXU -- no per-window gather
+        s_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, s), 2)
+        onehot = sid[..., None] == s_iota              # [B, W, S]
+        spec_oh = (onehot & spec_w[..., None]).astype(jnp.float32)
+        tot_oh = (onehot & first_occ[..., None]).astype(jnp.float32)
+        spec_sc = jnp.sum(spec_oh, axis=1)             # [B, S]
+        tot_sc = jnp.sum(tot_oh, axis=1)
+        spec_counts = jnp.dot(
+            spec_sc, member_f, preferred_element_type=jnp.float32
+        ).astype(jnp.int32)
+        total_counts = jnp.dot(
+            tot_sc, member_f, preferred_element_type=jnp.float32
+        ).astype(jnp.int32)
+        fw_set_spec = jnp.min(
+            jnp.where(spec_oh > 0, w_col, BIG), axis=1)          # [B, S]
+        fw_set_tot = jnp.min(
+            jnp.where(tot_oh > 0, w_col, BIG), axis=1)
+        fw_spec = jnp.min(
+            jnp.where(member_b[None], fw_set_spec[:, :, None], BIG), axis=1
+        ).astype(jnp.int32)                                       # [B, R]
+        fw_total = jnp.min(
+            jnp.where(member_b[None], fw_set_tot[:, :, None], BIG), axis=1
+        ).astype(jnp.int32)
+    else:
+        # gather path for wide set tables
+        mem_idx = jax.lax.optimization_barrier(jnp.where(stored, sid, 0))
+        mem = jnp.take(set_member, mem_idx, axis=0)    # [B, W, R] u8
+        mem_f = mem.astype(jnp.float32)
+        spec_counts = jnp.einsum(
+            "bwr,bw->br", mem_f, spec_w.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)
+        total_counts = jnp.einsum(
+            "bwr,bw->br", mem_f, first_occ.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)
+        in_set = mem > 0
+        fw_spec = jnp.min(
+            jnp.where(spec_w[:, :, None] & in_set, w_col, BIG), axis=1
+        ).astype(jnp.int32)
+        fw_total = jnp.min(
+            jnp.where(first_occ[:, :, None] & in_set, w_col, BIG), axis=1
+        ).astype(jnp.int32)
 
     # ---- m-decision over specific counts (reference kmer.py:444-462) ----
     has_kmers = jnp.any(first_occ, axis=1)
@@ -233,8 +270,11 @@ def aggregate_batch(res: BatchResult, row_valid: jnp.ndarray) -> AggResult:
         (res.downgraded & is_a)[:, None] & winner_onehot, jnp.int32(-1), key
     )
     key = jnp.where(in_list, key, BIG)
-    order = jnp.argsort(key, axis=1)
-    rank = jnp.argsort(order, axis=1).astype(jnp.int32)  # pos in sorted row
+    # rank via pairwise comparison count: O(R^2) beats two argsorts for the
+    # small, lane-padded [B, R] shapes this runs on
+    rank = jnp.sum(
+        (key[:, None, :] < key[:, :, None]).astype(jnp.int32), axis=2
+    )
     enc_key = jnp.where(in_list, row_iota * jnp.int32(r + 2) + rank, BIG)
     first_key = jnp.min(enc_key, axis=0)
 
@@ -257,11 +297,12 @@ def aggregate_batch(res: BatchResult, row_valid: jnp.ndarray) -> AggResult:
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "k", "max_bucket_probe", "has_mrq", "has_mkq", "has_mg", "with_aggregate",
+        "k", "has_mrq", "has_mkq", "has_mg", "with_aggregate",
     ),
 )
 def align_batch(
     table,
+    stash,
     set_member,
     codes,
     qual,
@@ -274,7 +315,6 @@ def align_batch(
     mg,
     *,
     k: int,
-    max_bucket_probe: int,
     has_mrq: bool,
     has_mkq: bool,
     has_mg: bool,
@@ -282,9 +322,8 @@ def align_batch(
 ):
     """Jitted entry: per-read results and (optionally) device aggregation."""
     res = align_batch_core(
-        table, set_member, codes, qual, lengths, m, p, mrq, mkq, mg,
-        k=k, max_bucket_probe=max_bucket_probe,
-        has_mrq=has_mrq, has_mkq=has_mkq, has_mg=has_mg,
+        table, stash, set_member, codes, qual, lengths, m, p, mrq, mkq, mg,
+        k=k, has_mrq=has_mrq, has_mkq=has_mkq, has_mg=has_mg,
     )
     if with_aggregate:
         return res, aggregate_batch(res, row_valid)

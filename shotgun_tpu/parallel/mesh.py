@@ -38,11 +38,12 @@ def make_mesh(devices: Optional[Sequence] = None, axis: str = "data") -> Mesh:
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "mesh", "k", "max_bucket_probe", "has_mrq", "has_mkq", "has_mg",
+        "mesh", "k", "has_mrq", "has_mkq", "has_mg",
     ),
 )
 def align_aggregate_sharded(
     table,
+    stash,
     set_member,
     codes,
     qual,
@@ -56,7 +57,6 @@ def align_aggregate_sharded(
     *,
     mesh: Mesh,
     k: int,
-    max_bucket_probe: int,
     has_mrq: bool,
     has_mkq: bool,
     has_mg: bool,
@@ -68,12 +68,11 @@ def align_aggregate_sharded(
     rows_per_shard = b // n_shards
     r = set_member.shape[1]
 
-    def shard_fn(table, set_member, codes, qual, lengths, row_valid,
+    def shard_fn(table, stash, set_member, codes, qual, lengths, row_valid,
                  m, p, mrq, mkq, mg):
         res = align_batch_core(
-            table, set_member, codes, qual, lengths, m, p, mrq, mkq, mg,
-            k=k, max_bucket_probe=max_bucket_probe,
-            has_mrq=has_mrq, has_mkq=has_mkq, has_mg=has_mg,
+            table, stash, set_member, codes, qual, lengths, m, p, mrq, mkq, mg,
+            k=k, has_mrq=has_mrq, has_mkq=has_mkq, has_mg=has_mg,
         )
         local = aggregate_batch(res, row_valid)
         # lift shard-local first-encounter keys to global read order:
@@ -99,12 +98,13 @@ def align_aggregate_sharded(
         shard_fn,
         mesh=mesh,
         in_specs=(
-            P(), P(),                       # table, set_member: replicated
+            P(), P(), P(),                  # table, stash, set_member: replicated
             P("data"), P("data"), P("data"), P("data"),  # read arrays
             P(), P(), P(), P(), P(),        # scalars
         ),
         out_specs=P(),                      # fully merged, replicated
-    )(table, set_member, codes, qual, lengths, row_valid, m, p, mrq, mkq, mg)
+    )(table, stash, set_member, codes, qual, lengths, row_valid,
+      m, p, mrq, mkq, mg)
 
 
 def shard_read_arrays(mesh: Mesh, *arrays):

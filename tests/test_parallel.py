@@ -69,23 +69,21 @@ def test_shard_count_invariance(n_shards):
 
     # single-device truth
     _, agg1 = align_batch(
-        jnp.asarray(pt.table), jnp.asarray(member),
+        jnp.asarray(pt.table), jnp.asarray(pt.stash), jnp.asarray(member),
         jnp.asarray(codes), jnp.asarray(qual), jnp.asarray(lengths),
         jnp.asarray(row_valid),
         jnp.int32(1), jnp.int32(1), jnp.int32(0), jnp.int32(0), jnp.int32(0),
-        k=k, max_bucket_probe=pt.max_bucket_probe,
-        has_mrq=False, has_mkq=False, has_mg=False,
+        k=k, has_mrq=False, has_mkq=False, has_mg=False,
     )
 
     mesh = make_mesh(jax.devices()[:n_shards])
-    (table_d, member_d) = replicate(mesh, pt.table, member)
+    table_d, stash_d, member_d = replicate(mesh, pt.table, pt.stash, member)
     codes_d, qual_d, len_d, rv_d = shard_read_arrays(
         mesh, codes, qual, lengths, row_valid)
     agg_n = align_aggregate_sharded(
-        table_d, member_d, codes_d, qual_d, len_d, rv_d,
+        table_d, stash_d, member_d, codes_d, qual_d, len_d, rv_d,
         jnp.int32(1), jnp.int32(1), jnp.int32(0), jnp.int32(0), jnp.int32(0),
-        mesh=mesh, k=k, max_bucket_probe=pt.max_bucket_probe,
-        has_mrq=False, has_mkq=False, has_mg=False,
+        mesh=mesh, k=k, has_mrq=False, has_mkq=False, has_mg=False,
     )
 
     for field in agg1._fields:
