@@ -21,12 +21,15 @@ import numpy as np
 
 BASELINE_READS_PER_SEC = 4900.0
 
-N_GENOMES = 5
-GENOME_LEN = 200_000
-N_READS = 262_144
-READ_LEN = 150
-K = 31
-BATCH = 8192
+import os
+
+N_GENOMES = int(os.environ.get("BENCH_GENOMES", 5))
+GENOME_LEN = int(os.environ.get("BENCH_GENOME_LEN", 200_000))
+N_READS = int(os.environ.get("BENCH_READS", 262_144))
+READ_LEN = int(os.environ.get("BENCH_READ_LEN", 150))
+K = int(os.environ.get("BENCH_K", 31))
+BATCH = int(os.environ.get("BENCH_BATCH", 8192))
+SLOTS = int(os.environ.get("BENCH_SLOTS", 0))  # 0 = library default
 
 
 def log(msg):
@@ -60,21 +63,30 @@ def main():
 
     t0 = time.perf_counter()
     ref = KmerReference(K, _index=idx)
-    pt = ref.probe_table()
+    import os as _os
+    method = _os.environ.get("SHOTGUN_TPU_PROBE", "hash")
+    if SLOTS and method == "hash":
+        from shotgun_tpu.ops.probe import HashTableDev
+        pt = build_probe_table(idx.kmer_lo, idx.kmer_hi, idx.set_id,
+                               idx.genome_counts(), slots_per_bucket=SLOTS)
+        probe_tab = HashTableDev(table=jnp.asarray(pt.table),
+                                 stash=jnp.asarray(pt.stash))
+        log(f"hash table: {pt.n_buckets} buckets, stash={pt.stash.shape[0]}, "
+            f"{pt.table.nbytes / 1e6:.1f} MB")
+    else:
+        probe_tab = ref.device_probe_tables(method)
+        nbytes = sum(np.asarray(a).nbytes for a in probe_tab)
+        log(f"probe tables ({method}): {nbytes / 1e6:.1f} MB")
     member = ref.set_member_dense()
-    log(f"probe table: {time.perf_counter() - t0:.2f}s  "
-        f"({pt.n_buckets} buckets, stash={pt.stash.shape[0]}, "
-        f"{pt.table.nbytes / 1e6:.1f} MB)")
+    log(f"probe prep: {time.perf_counter() - t0:.2f}s")
 
-    table_d = jnp.asarray(pt.table)
-    stash_d = jnp.asarray(pt.stash)
     member_d = jnp.asarray(member)
     zero = jnp.int32(0)
     one = jnp.int32(1)
 
     def run_batch(codes_d, qual_d, len_d, rv_d):
         return align_batch(
-            table_d, stash_d, member_d, codes_d, qual_d, len_d, rv_d,
+            probe_tab, member_d, codes_d, qual_d, len_d, rv_d,
             one, one, zero, zero, zero,
             k=K, has_mrq=False, has_mkq=False, has_mg=False,
             with_aggregate=True,

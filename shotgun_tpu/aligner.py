@@ -369,7 +369,7 @@ class PseudoAlignment:
         ref = self.kmer_reference
         idx = ref.index
         k = idx.k
-        ptable = ref.probe_table()
+        probe_tab = ref.device_probe_tables()
         set_member = ref.set_member_dense()
         r = idx.num_records
 
@@ -379,16 +379,18 @@ class PseudoAlignment:
         if mesh is not None:
             n_shards = mesh.shape["data"]
             b = ((b + n_shards - 1) // n_shards) * n_shards
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
             from shotgun_tpu.parallel.mesh import (
                 align_aggregate_sharded,
-                replicate,
                 shard_read_arrays,
             )
-            table_dev, stash_dev, member_dev = replicate(
-                mesh, ptable.table, ptable.stash, set_member)
+            rep = NamedSharding(mesh, P())
+            probe_tab = jax.tree.map(
+                lambda a: jax.device_put(a, rep), probe_tab)
+            member_dev = jax.device_put(set_member, rep)
         else:
-            table_dev = jnp.asarray(ptable.table)
-            stash_dev = jnp.asarray(ptable.stash)
             member_dev = jnp.asarray(set_member)
         m_t = jnp.int32(m)
         p_t = jnp.int32(p)
@@ -396,6 +398,7 @@ class PseudoAlignment:
         mkq_t = jnp.int32(min_kmer_quality or 0)
         mg_t = jnp.int32(max_genomes or 0)
 
+        pending = []
         for start in range(0, n, b):
             rows = min(b, n - start)
             codes = np.zeros((b, lpad), dtype=np.uint8)
@@ -411,7 +414,7 @@ class PseudoAlignment:
                 codes_d, qual_d, len_d, rv_d = shard_read_arrays(
                     mesh, codes, qual, lengths, row_valid)
                 agg = align_aggregate_sharded(
-                    table_dev, stash_dev, member_dev,
+                    probe_tab, member_dev,
                     codes_d, qual_d, len_d, rv_d,
                     m_t, p_t, mrq_t, mkq_t, mg_t,
                     mesh=mesh, k=k,
@@ -421,7 +424,7 @@ class PseudoAlignment:
                 )
             else:
                 res, agg = align_batch(
-                    table_dev, stash_dev, member_dev,
+                    probe_tab, member_dev,
                     jnp.asarray(codes), jnp.asarray(qual), jnp.asarray(lengths),
                     jnp.asarray(row_valid),
                     m_t, p_t, mrq_t, mkq_t, mg_t,
@@ -431,9 +434,17 @@ class PseudoAlignment:
                     has_mg=max_genomes is not None,
                 )
                 if store_reads:
-                    self._store_batch_reads(
-                        res, batch.ids[start: start + rows], rows, r
-                    )
+                    pending.append((agg, res, start, rows))
+                    continue
+            pending.append((agg, None, start, rows))
+
+        # fold after all batches are dispatched: device queue stays full
+        # and each host sync happens once results are already done
+        for agg, res, start, rows in pending:
+            if res is not None:
+                self._store_batch_reads(
+                    res, batch.ids[start: start + rows], rows, r
+                )
             self._fold_agg(agg, r)
             self._batch_no += 1
 

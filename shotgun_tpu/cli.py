@@ -44,6 +44,7 @@ from shotgun_tpu.io.data_file import (
     NoRecordsInDataFile,
 )
 from shotgun_tpu.reference import KDBFormatError, KmerReference
+from shotgun_tpu.utils.profiling import PROFILER, maybe_trace, phase
 
 DEFAULT_BATCH_SIZE = 2048
 
@@ -97,6 +98,8 @@ def parse_arguments(args: Optional[List[str]] = None) -> argparse.Namespace:
     parser.add_argument("--similarity-threshold", type=float)
     parser.add_argument("--batch-size", type=int, default=DEFAULT_BATCH_SIZE,
                         help="device batch size (TPU tuning; no effect on output)")
+    parser.add_argument("--profile", action="store_true",
+                        help="print per-phase timing/throughput to stderr")
     return parser.parse_args(args)
 
 
@@ -107,10 +110,12 @@ def parse_arguments(args: Optional[List[str]] = None) -> argparse.Namespace:
 def create_reference(fasta_file: str, kmer_size: int,
                      filter_similar: bool = False,
                      similarity_threshold: float = 0.95) -> KmerReference:
-    container = FASTAFile(fasta_file).container
-    return KmerReference(kmer_size, container,
-                         filter_similar=filter_similar,
-                         similarity_threshold=similarity_threshold)
+    with phase("fasta_parse"):
+        container = FASTAFile(fasta_file).container
+    with phase("db_build"):
+        return KmerReference(kmer_size, container,
+                             filter_similar=filter_similar,
+                             similarity_threshold=similarity_threshold)
 
 
 def create_reference_and_save_it(fasta_file: str, kmer_size: int,
@@ -148,12 +153,14 @@ def create_alignment_from_reference(
     min_kmer_quality: Optional[int], max_genomes: Optional[int],
     batch_size: int = DEFAULT_BATCH_SIZE, store_reads: bool = True,
 ) -> PseudoAlignment:
-    reads_container = FASTAQFile(reads_file).container
+    with phase("fastq_parse"):
+        reads_container = FASTAQFile(reads_file).container
     alignment = PseudoAlignment(kmer_reference)
-    alignment.align_reads_from_container(
-        reads_container, m, p, min_read_quality, min_kmer_quality, max_genomes,
-        batch_size=batch_size, store_reads=store_reads,
-    )
+    with phase("align", items=len(reads_container.records)):
+        alignment.align_reads_from_container(
+            reads_container, m, p, min_read_quality, min_kmer_quality,
+            max_genomes, batch_size=batch_size, store_reads=store_reads,
+        )
     return alignment
 
 
@@ -236,6 +243,8 @@ def build_reference_align_and_dump(
 
 def main(argv: Optional[List[str]] = None) -> None:
     args = parse_arguments(argv)
+    if args.profile:
+        PROFILER.enable()
 
     # Per-task flag-combination validation.  Deliberately truthiness-based:
     # explicit 0 values pass, as in the reference (main.py:321-334).
@@ -355,6 +364,8 @@ def main(argv: Optional[List[str]] = None) -> None:
     except (InvalidExtensionError, NoRecordsInDataFile,
             NotValidatingUniqueMapping, AddingExistingRead, ValueError) as err:
         sys.exit(err)
+    finally:
+        PROFILER.report()
 
 
 if __name__ == "__main__":

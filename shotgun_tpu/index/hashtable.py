@@ -23,9 +23,14 @@ import numpy as np
 
 from shotgun_tpu.ops.encode import mix32
 
-SLOTS = 8
+SLOTS = 4
 EMPTY = np.uint32(0xFFFFFFFF)
 STASH_CAP = 64
+
+#: initial expected keys-per-bucket by slot width -- sized so bucket
+#: overflow (-> stash) is vanishingly rare; measured on v5e, gather cost
+#: scales with row bytes, so narrow buckets + low load wins
+_TARGET_LAMBDA = {2: 0.03, 4: 0.25, 8: 2.0, 16: 6.0}
 
 
 @dataclass
@@ -61,9 +66,8 @@ def build_probe_table(
     """Place every distinct k-mer in its primary bucket (single-gather
     guarantee) with overflow spilling to the stash."""
     u = kmer_lo.size
-    # ~2 expected keys per 8-slot bucket: overflow probability per bucket
-    # is ~1e-5, so the stash stays tiny even for multi-million-key tables
-    n_buckets = _next_pow2(max(u // (slots_per_bucket // 4), 1))
+    lam = _TARGET_LAMBDA.get(slots_per_bucket, 1.0)
+    n_buckets = _next_pow2(max(int(u / lam), 1))
     while True:
         table, stash_idx = _try_build(
             kmer_lo, kmer_hi, set_id, genome_count, n_buckets, slots_per_bucket

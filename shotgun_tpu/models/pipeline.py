@@ -37,7 +37,8 @@ from shotgun_tpu.utils.platform import configure_platform
 configure_platform()
 
 from shotgun_tpu.ops.encode import rolling_encode_jnp, window_quality_sums
-from shotgun_tpu.ops.probe import probe_kmers
+from shotgun_tpu.ops.probe import HashTableDev, probe_kmers
+from shotgun_tpu.ops.probe_sort import SortedTableDev, probe_kmers_sorted
 
 BIG = jnp.int32(0x3FFFFFFF)
 
@@ -64,8 +65,7 @@ SET_DENSE_MAX = 64
 
 
 def align_batch_core(
-    table: jnp.ndarray,       # uint32 [n_buckets, SLOTS, 4]
-    stash: jnp.ndarray,       # uint32 [stash_n, 4] overflow keys
+    probe_tab,                # HashTableDev or SortedTableDev
     set_member: jnp.ndarray,  # uint8  [S, R]
     codes: jnp.ndarray,       # uint8  [B, L]
     qual: jnp.ndarray,        # uint8  [B, L]
@@ -108,7 +108,11 @@ def align_batch_core(
         n_qual_kmers = jnp.zeros((b,), dtype=jnp.int32)
 
     # ---- probe + max-genomes gate ----
-    hit, sid, gcount, slot_pos = probe_kmers(table, stash, lo, hi)
+    if isinstance(probe_tab, SortedTableDev):
+        hit, sid, gcount, slot_pos = probe_kmers_sorted(probe_tab, lo, hi)
+    else:
+        hit, sid, gcount, slot_pos = probe_kmers(
+            probe_tab.table, probe_tab.stash, lo, hi)
     hit = hit & kq_ok
     if has_mg:
         redundant = hit & (gcount > mg)
@@ -301,8 +305,7 @@ def aggregate_batch(res: BatchResult, row_valid: jnp.ndarray) -> AggResult:
     ),
 )
 def align_batch(
-    table,
-    stash,
+    probe_tab,
     set_member,
     codes,
     qual,
@@ -322,7 +325,7 @@ def align_batch(
 ):
     """Jitted entry: per-read results and (optionally) device aggregation."""
     res = align_batch_core(
-        table, stash, set_member, codes, qual, lengths, m, p, mrq, mkq, mg,
+        probe_tab, set_member, codes, qual, lengths, m, p, mrq, mkq, mg,
         k=k, has_mrq=has_mrq, has_mkq=has_mkq, has_mg=has_mg,
     )
     if with_aggregate:

@@ -18,6 +18,16 @@ from shotgun_tpu.ops.encode import mix32
 _EMPTY32 = jnp.uint32(0xFFFFFFFF)
 
 
+from typing import NamedTuple
+
+
+class HashTableDev(NamedTuple):
+    """Device arrays of the bucketized hash table."""
+
+    table: jnp.ndarray   # uint32 [n_buckets, slots, 4]
+    stash: jnp.ndarray   # uint32 [stash_n, 4]
+
+
 def probe_kmers(
     table: jnp.ndarray,      # uint32 [n_buckets, slots, 4]
     stash: jnp.ndarray,      # uint32 [stash_n, 4] (stash_n is static, may be 0)

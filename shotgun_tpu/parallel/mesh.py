@@ -42,8 +42,7 @@ def make_mesh(devices: Optional[Sequence] = None, axis: str = "data") -> Mesh:
     ),
 )
 def align_aggregate_sharded(
-    table,
-    stash,
+    probe_tab,
     set_member,
     codes,
     qual,
@@ -68,10 +67,10 @@ def align_aggregate_sharded(
     rows_per_shard = b // n_shards
     r = set_member.shape[1]
 
-    def shard_fn(table, stash, set_member, codes, qual, lengths, row_valid,
+    def shard_fn(probe_tab, set_member, codes, qual, lengths, row_valid,
                  m, p, mrq, mkq, mg):
         res = align_batch_core(
-            table, stash, set_member, codes, qual, lengths, m, p, mrq, mkq, mg,
+            probe_tab, set_member, codes, qual, lengths, m, p, mrq, mkq, mg,
             k=k, has_mrq=has_mrq, has_mkq=has_mkq, has_mg=has_mg,
         )
         local = aggregate_batch(res, row_valid)
@@ -94,16 +93,18 @@ def align_aggregate_sharded(
             first_key=jax.lax.pmin(lifted, "data"),
         )
 
+    import jax.tree_util as jtu
+    tab_specs = jtu.tree_map(lambda _: P(), probe_tab)
     return jax.shard_map(
         shard_fn,
         mesh=mesh,
         in_specs=(
-            P(), P(), P(),                  # table, stash, set_member: replicated
+            tab_specs, P(),                 # probe tables + set_member: replicated
             P("data"), P("data"), P("data"), P("data"),  # read arrays
             P(), P(), P(), P(), P(),        # scalars
         ),
         out_specs=P(),                      # fully merged, replicated
-    )(table, stash, set_member, codes, qual, lengths, row_valid,
+    )(probe_tab, set_member, codes, qual, lengths, row_valid,
       m, p, mrq, mkq, mg)
 
 

@@ -14,6 +14,7 @@ metadata header -- same CLI role as the reference's gzipped pickle
 from __future__ import annotations
 
 import json
+import os
 from typing import Any, Dict, Iterable, List, Optional, Set
 
 import numpy as np
@@ -223,6 +224,30 @@ class KmerReference:
     # ------------------------------------------------------------------
     # device-side arrays
     # ------------------------------------------------------------------
+
+    def device_probe_tables(self, method: Optional[str] = None):
+        """Device probe structure for the align pipeline.
+
+        'sort' (default): gather-free sort-merge probe -- fastest measured
+        on v5e and only 16B/key.  'hash': bucketized single-gather table
+        (~268B/key); kept for workloads where batch << table size.
+        ``method`` defaults to env SHOTGUN_TPU_PROBE or 'sort'."""
+        import jax.numpy as jnp
+
+        from shotgun_tpu.ops.probe import HashTableDev
+        from shotgun_tpu.ops.probe_sort import SortedTableDev, sorted_table_host
+
+        method = method or os.environ.get("SHOTGUN_TPU_PROBE", "sort")
+        if method == "sort":
+            klo, khi, sid, gc = sorted_table_host(self.index)
+            return SortedTableDev(
+                klo=jnp.asarray(klo), khi=jnp.asarray(khi),
+                sid=jnp.asarray(sid), gc=jnp.asarray(gc),
+            )
+        pt = self.probe_table()
+        return HashTableDev(
+            table=jnp.asarray(pt.table), stash=jnp.asarray(pt.stash)
+        )
 
     def probe_table(self) -> ProbeTable:
         if self._probe_table is None:

@@ -59,7 +59,7 @@ def test_shard_count_invariance(n_shards):
     assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
     ref, batch = _setup()
     k = ref.index.k
-    pt = ref.probe_table()
+    probe_tab = ref.device_probe_tables()
     member = ref.set_member_dense()
     b = 64
     codes = batch.codes[:b]
@@ -69,7 +69,7 @@ def test_shard_count_invariance(n_shards):
 
     # single-device truth
     _, agg1 = align_batch(
-        jnp.asarray(pt.table), jnp.asarray(pt.stash), jnp.asarray(member),
+        probe_tab, jnp.asarray(member),
         jnp.asarray(codes), jnp.asarray(qual), jnp.asarray(lengths),
         jnp.asarray(row_valid),
         jnp.int32(1), jnp.int32(1), jnp.int32(0), jnp.int32(0), jnp.int32(0),
@@ -77,11 +77,14 @@ def test_shard_count_invariance(n_shards):
     )
 
     mesh = make_mesh(jax.devices()[:n_shards])
-    table_d, stash_d, member_d = replicate(mesh, pt.table, pt.stash, member)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    rep = NamedSharding(mesh, P())
+    probe_rep = jax.tree.map(lambda a: jax.device_put(a, rep), probe_tab)
+    (member_d,) = replicate(mesh, member)
     codes_d, qual_d, len_d, rv_d = shard_read_arrays(
         mesh, codes, qual, lengths, row_valid)
     agg_n = align_aggregate_sharded(
-        table_d, stash_d, member_d, codes_d, qual_d, len_d, rv_d,
+        probe_rep, member_d, codes_d, qual_d, len_d, rv_d,
         jnp.int32(1), jnp.int32(1), jnp.int32(0), jnp.int32(0), jnp.int32(0),
         mesh=mesh, k=k, has_mrq=False, has_mkq=False, has_mg=False,
     )
