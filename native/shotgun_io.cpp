@@ -1,0 +1,367 @@
+// Native strict FASTA/FASTQ parser for shotgun_tpu.
+//
+// Byte-exact reimplementation of the reference's regex grammar
+// (reference src/records.py:141-302) as a line-based scanner:
+//  * FASTQ records are 4 consecutive lines (@id / ACGT seq / +dots /
+//    quality) whose next line starts with '@' or is EOF with at most one
+//    trailing newline; scan resyncs at every line on failure, exactly like
+//    re.finditer with a MULTILINE ^ anchor.
+//  * FASTA records are one '>' header line plus a nonempty body region of
+//    [ACGTN + whitespace] running to the newline before the next '>' line
+//    (or EOF minus one optional trailing newline).
+//  * Characters outside any match must be whitespace (UnparsedDataError
+//    semantics); duplicate FASTQ ids are detected during the scan in
+//    match order; sequence/quality length mismatches are reported by
+//    record number after a successful parse.
+//
+// ASCII-only: any byte >= 0x80 returns STATUS_NON_ASCII so the Python
+// caller falls back to the regex engine (unicode whitespace semantics
+// differ at the byte level).
+//
+// Two-call protocol per format: *_scan validates and sizes, *_fill
+// re-walks the (now known valid) input writing packed arrays:
+// 2-bit base codes (+N=4 for FASTA), raw quality bytes, lengths/offsets
+// and concatenated id/description bytes.
+
+#include <cstdint>
+#include <cstring>
+#include <string>
+#include <unordered_set>
+#include <vector>
+
+namespace {
+
+enum Status {
+  OK = 0,
+  NO_RECORDS = 1,
+  DUPLICATE_ID = 2,
+  UNPARSED = 3,
+  LEN_MISMATCH = 4,
+  NON_ASCII = 5,
+};
+
+// out_info layout (int64[8]):
+//  [0] n_records  [1] max_seq_len (fastq) / total_bases (fasta)
+//  [2] total_id_bytes  [3] err_index  [4] err_aux  [5..7] reserved
+constexpr int INFO_N = 0, INFO_SIZE = 1, INFO_IDB = 2, INFO_ERRI = 3,
+              INFO_AUX = 4;
+
+struct Line {
+  int64_t start;    // first content byte
+  int64_t end;      // one past last content byte (excludes \r?\n)
+  int64_t raw_end;  // one past the newline (== next line's raw start)
+};
+
+// character classes
+struct Tables {
+  bool id_ok[256] = {};    // [\S\t ] over ASCII: all except \n \r \f \v
+  bool seq_ok[256] = {};   // ACGT
+  bool base_ok[256] = {};  // ACGTN
+  bool qual_ok[256] = {};  // the 94 PHRED33 chars
+  bool ws[256] = {};       // ASCII str.strip() whitespace
+  uint8_t code[256];       // base -> 2-bit code, N=4, else 255
+  Tables() {
+    const char* q =
+        "`1234567890-=qwertyuiop[]\\asdfghjkl;'zxcvbnm,./"
+        "~!@#$%^&*()_+QWERTYUIOP{}|ASDFGHJKL:\"ZXCVBNM<>?";
+    for (const char* p = q; *p; ++p) qual_ok[(uint8_t)*p] = true;
+    const char* wsc = " \t\n\r\x0b\x0c";
+    for (const char* p = wsc; *p; ++p) ws[(uint8_t)*p] = true;
+    for (int c = 0; c < 128; ++c) id_ok[c] = true;
+    id_ok[(uint8_t)'\n'] = id_ok[(uint8_t)'\r'] = false;
+    id_ok[(uint8_t)'\x0b'] = id_ok[(uint8_t)'\x0c'] = false;
+    seq_ok[(uint8_t)'A'] = seq_ok[(uint8_t)'C'] = seq_ok[(uint8_t)'G'] =
+        seq_ok[(uint8_t)'T'] = true;
+    std::memcpy(base_ok, seq_ok, sizeof(base_ok));
+    base_ok[(uint8_t)'N'] = true;
+    std::memset(code, 0xFF, sizeof(code));
+    code[(uint8_t)'A'] = 0;
+    code[(uint8_t)'C'] = 1;
+    code[(uint8_t)'G'] = 2;
+    code[(uint8_t)'T'] = 3;
+    code[(uint8_t)'N'] = 4;
+  }
+};
+const Tables T;
+
+bool split_lines(const uint8_t* d, int64_t n, std::vector<Line>* out) {
+  // returns false on non-ascii byte
+  int64_t i = 0;
+  while (i < n) {
+    int64_t s = i;
+    const void* nl = std::memchr(d + i, '\n', (size_t)(n - i));
+    int64_t e, raw;
+    if (nl) {
+      raw = (const uint8_t*)nl - d + 1;
+      e = raw - 1;
+      if (e > s && d[e - 1] == '\r') --e;
+    } else {
+      raw = e = n;
+    }
+    out->push_back({s, e, raw});
+    i = raw;
+  }
+  for (int64_t j = 0; j < n; ++j)
+    if (d[j] >= 0x80) return false;
+  return true;
+}
+
+bool all_in(const uint8_t* d, int64_t s, int64_t e, const bool* tbl) {
+  for (int64_t i = s; i < e; ++i)
+    if (!tbl[d[i]]) return false;
+  return true;
+}
+
+// strip ASCII whitespace from [s,e) like str.strip()
+void strip_span(const uint8_t* d, int64_t* s, int64_t* e) {
+  while (*s < *e && T.ws[d[*s]]) ++*s;
+  while (*e > *s && T.ws[d[*e - 1]]) --*e;
+}
+
+int64_t first_nonws(const uint8_t* d, int64_t s, int64_t e) {
+  for (int64_t i = s; i < e; ++i)
+    if (!T.ws[d[i]]) return i;
+  return -1;
+}
+
+// ---------------------------------------------------------------------------
+// FASTQ
+// ---------------------------------------------------------------------------
+
+// A 4-line group match at line index i (lines must exist).
+bool fastq_group_ok(const uint8_t* d, int64_t n, const std::vector<Line>& L,
+                    size_t i) {
+  if (i + 3 >= L.size()) return false;
+  const Line &l0 = L[i], &l1 = L[i + 1], &l2 = L[i + 2], &l3 = L[i + 3];
+  if (l0.end <= l0.start || d[l0.start] != '@') return false;
+  if (l0.end - l0.start < 2) return false;  // id must be nonempty
+  if (!all_in(d, l0.start + 1, l0.end, T.id_ok)) return false;
+  {
+    // id nonempty after strip? reference: ([\S\t ]+?) needs >=1 char of the
+    // class which includes \t and space -- so raw nonempty suffices.
+  }
+  if (l1.end <= l1.start || !all_in(d, l1.start, l1.end, T.seq_ok))
+    return false;
+  if (l2.end <= l2.start || d[l2.start] != '+') return false;
+  for (int64_t j = l2.start + 1; j < l2.end; ++j)
+    if (d[j] != '.') return false;
+  if (l3.end <= l3.start || !all_in(d, l3.start, l3.end, T.qual_ok))
+    return false;
+  // terminator: next line starts with '@', or group is last line with at
+  // most one trailing newline (raw_end == n covers both "no newline" and
+  // "exactly one newline" because raw_end includes it)
+  if (i + 4 < L.size()) {
+    const Line& l4 = L[i + 4];
+    if (l4.end <= l4.start || d[l4.start] != '@') return false;
+  } else {
+    if (l3.raw_end != n) return false;  // unreachable: l3 is last line
+  }
+  return true;
+}
+
+}  // namespace
+
+extern "C" int stpu_fastq_scan(const uint8_t* d, int64_t n, int64_t* info) {
+  std::vector<Line> L;
+  if (!split_lines(d, n, &L)) return NON_ASCII;
+  std::unordered_set<std::string> seen;
+  std::vector<uint8_t> in_match(L.size(), 0);
+  int64_t n_rec = 0, max_len = 0, id_bytes = 0;
+  int64_t mismatch_rec = -1, mismatch_aux = 0;
+  for (size_t i = 0; i < L.size();) {
+    if (fastq_group_ok(d, n, L, i)) {
+      int64_t is = L[i].start + 1, ie = L[i].end;
+      strip_span(d, &is, &ie);
+      std::string id((const char*)d + is, (size_t)(ie - is));
+      if (!seen.insert(std::move(id)).second) {
+        info[INFO_ERRI] = (int64_t)n_rec;  // duplicate found at this record
+        return DUPLICATE_ID;
+      }
+      int64_t sl = L[i + 1].end - L[i + 1].start;
+      int64_t ql = L[i + 3].end - L[i + 3].start;
+      if (mismatch_rec < 0 && sl != ql) {
+        mismatch_rec = n_rec;
+        mismatch_aux = (sl << 28) | ql;
+      }
+      if (sl > max_len) max_len = sl;
+      if (ql > max_len) max_len = ql;
+      id_bytes += ie - is;
+      in_match[i] = in_match[i + 1] = in_match[i + 2] = in_match[i + 3] = 1;
+      ++n_rec;
+      i += 4;
+    } else {
+      ++i;
+    }
+  }
+  if (n_rec == 0) return NO_RECORDS;
+  for (size_t i = 0; i < L.size(); ++i) {
+    if (in_match[i]) continue;
+    int64_t bad = first_nonws(d, L[i].start, L[i].end);
+    if (bad >= 0) {
+      info[INFO_ERRI] = bad;
+      return UNPARSED;
+    }
+  }
+  if (mismatch_rec >= 0) {
+    info[INFO_ERRI] = mismatch_rec;
+    info[INFO_AUX] = mismatch_aux;
+    return LEN_MISMATCH;
+  }
+  info[INFO_N] = n_rec;
+  info[INFO_SIZE] = max_len;
+  info[INFO_IDB] = id_bytes;
+  return OK;
+}
+
+extern "C" int stpu_fastq_fill(const uint8_t* d, int64_t n, uint8_t* codes,
+                               uint8_t* qual, int32_t* lengths, int64_t lmax,
+                               int64_t* id_offsets, uint8_t* id_buf,
+                               int32_t* space_len) {
+  std::vector<Line> L;
+  if (!split_lines(d, n, &L)) return NON_ASCII;
+  int64_t rec = 0, idp = 0;
+  id_offsets[0] = 0;
+  for (size_t i = 0; i < L.size();) {
+    if (fastq_group_ok(d, n, L, i)) {
+      int64_t is = L[i].start + 1, ie = L[i].end;
+      strip_span(d, &is, &ie);
+      std::memcpy(id_buf + idp, d + is, (size_t)(ie - is));
+      idp += ie - is;
+      id_offsets[rec + 1] = idp;
+      const Line& ls = L[i + 1];
+      int64_t sl = ls.end - ls.start;
+      lengths[rec] = (int32_t)sl;
+      uint8_t* crow = codes + rec * lmax;
+      for (int64_t j = 0; j < sl; ++j) crow[j] = T.code[d[ls.start + j]];
+      const Line& lq = L[i + 3];
+      std::memcpy(qual + rec * lmax, d + lq.start,
+                  (size_t)(lq.end - lq.start));
+      space_len[rec] = (int32_t)(L[i + 2].end - L[i + 2].start - 1);
+      ++rec;
+      i += 4;
+    } else {
+      ++i;
+    }
+  }
+  return OK;
+}
+
+// ---------------------------------------------------------------------------
+// FASTA
+// ---------------------------------------------------------------------------
+
+struct FastaGroup {
+  size_t header;      // line index
+  size_t body_first;  // first body line index
+  size_t body_last;   // last body line index (inclusive); header if none
+  bool valid;
+};
+
+// find the group starting at header line i; j_out = next scan line
+FastaGroup fasta_group_at(const uint8_t* d, int64_t n,
+                          const std::vector<Line>& L, size_t i,
+                          size_t* j_out) {
+  FastaGroup g{i, i + 1, i, false};
+  const Line& h = L[i];
+  size_t j = i + 1;
+  while (j < L.size() && !(L[j].end > L[j].start && d[L[j].start] == '>'))
+    ++j;
+  *j_out = j;
+  if (h.end <= h.start || d[h.start] != '>') return g;
+  if (h.end - h.start < 2) return g;  // description needs >= 1 char
+  if (!all_in(d, h.start + 1, h.end, T.id_ok)) return g;
+  // body region: from after header newline to the newline before line j
+  // (or EOF minus at most one trailing newline)
+  int64_t body_begin = h.raw_end;
+  int64_t body_end;
+  if (j < L.size()) {
+    const Line& prev = L[j - 1];
+    body_end = prev.end;  // excludes the newline separating from '>'
+    // inner newlines of earlier body lines are inside [begin, end) and are
+    // legal whitespace
+  } else {
+    // at EOF the lazy body may stop anywhere the remainder matches
+    // (\r?\n)?\Z -- newlines are legal body chars, so validity reduces to
+    // "the whole tail is in-class and nonempty" (e.g. ">g\n\n" parses with
+    // an empty cleaned genome)
+    body_end = n;
+  }
+  if (body_end <= body_begin) return g;  // empty region -> no match
+  for (int64_t x = body_begin; x < body_end; ++x) {
+    uint8_t c = d[x];
+    if (!T.base_ok[c] && !T.ws[c]) return g;
+  }
+  g.body_first = i + 1;
+  g.body_last = j - 1;
+  g.valid = true;
+  return g;
+}
+
+extern "C" int stpu_fasta_scan(const uint8_t* d, int64_t n, int64_t* info) {
+  std::vector<Line> L;
+  if (!split_lines(d, n, &L)) return NON_ASCII;
+  std::vector<uint8_t> in_match(L.size(), 0);
+  int64_t n_rec = 0, total_bases = 0, desc_bytes = 0;
+  for (size_t i = 0; i < L.size();) {
+    size_t j;
+    FastaGroup g = fasta_group_at(d, n, L, i, &j);
+    if (g.valid) {
+      for (size_t x = g.header; x <= g.body_last; ++x) in_match[x] = 1;
+      int64_t ds = L[i].start + 1, de = L[i].end;
+      strip_span(d, &ds, &de);
+      desc_bytes += de - ds;
+      for (size_t x = g.body_first; x <= g.body_last; ++x)
+        for (int64_t y = L[x].start; y < L[x].end; ++y)
+          if (T.base_ok[d[y]]) ++total_bases;
+      ++n_rec;
+      i = j;
+    } else {
+      ++i;
+    }
+  }
+  if (n_rec == 0) return NO_RECORDS;
+  for (size_t i = 0; i < L.size(); ++i) {
+    if (in_match[i]) continue;
+    int64_t bad = first_nonws(d, L[i].start, L[i].end);
+    if (bad >= 0) {
+      info[INFO_ERRI] = bad;
+      return UNPARSED;
+    }
+  }
+  info[INFO_N] = n_rec;
+  info[INFO_SIZE] = total_bases;
+  info[INFO_IDB] = desc_bytes;
+  return OK;
+}
+
+extern "C" int stpu_fasta_fill(const uint8_t* d, int64_t n, uint8_t* codes,
+                               int64_t* seq_offsets, int64_t* desc_offsets,
+                               uint8_t* desc_buf) {
+  std::vector<Line> L;
+  if (!split_lines(d, n, &L)) return NON_ASCII;
+  int64_t rec = 0, cp = 0, dp = 0;
+  seq_offsets[0] = 0;
+  desc_offsets[0] = 0;
+  for (size_t i = 0; i < L.size();) {
+    size_t j;
+    FastaGroup g = fasta_group_at(d, n, L, i, &j);
+    if (g.valid) {
+      int64_t ds = L[i].start + 1, de = L[i].end;
+      strip_span(d, &ds, &de);
+      std::memcpy(desc_buf + dp, d + ds, (size_t)(de - ds));
+      dp += de - ds;
+      desc_offsets[rec + 1] = dp;
+      for (size_t x = g.body_first; x <= g.body_last; ++x)
+        for (int64_t y = L[x].start; y < L[x].end; ++y) {
+          uint8_t c = T.code[d[y]];
+          if (c != 0xFF) codes[cp++] = c;
+        }
+      seq_offsets[rec + 1] = cp;
+      ++rec;
+      i = j;
+    } else {
+      ++i;
+    }
+  }
+  return OK;
+}

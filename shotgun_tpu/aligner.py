@@ -320,9 +320,12 @@ class PseudoAlignment:
         batch_size: int = 1024,
         store_reads: bool = True,
     ) -> None:
-        records = list(reads_container)
+        if hasattr(reads_container, "to_read_batch"):
+            batch = reads_container.to_read_batch()
+        else:
+            batch = pack_reads(list(reads_container))
         self.align_packed_reads(
-            pack_reads(records), m=m, p=p,
+            batch, m=m, p=p,
             min_read_quality=min_read_quality,
             min_kmer_quality=min_kmer_quality,
             max_genomes=max_genomes,

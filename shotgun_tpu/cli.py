@@ -156,7 +156,7 @@ def create_alignment_from_reference(
     with phase("fastq_parse"):
         reads_container = FASTAQFile(reads_file).container
     alignment = PseudoAlignment(kmer_reference)
-    with phase("align", items=len(reads_container.records)):
+    with phase("align", items=reads_container.num_records):
         alignment.align_reads_from_container(
             reads_container, m, p, min_read_quality, min_kmer_quality,
             max_genomes, batch_size=batch_size, store_reads=store_reads,

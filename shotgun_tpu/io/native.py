@@ -1,0 +1,154 @@
+"""ctypes bindings for the native strict parser (native/shotgun_io.cpp).
+
+Builds the shared library on demand with the repo Makefile (cached).  The
+native scanner is byte-exact with the regex engine for ASCII input and
+returns structured error codes that map onto the same exception types and
+messages; non-ASCII input or a missing toolchain falls back to the Python
+regex path transparently.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+_REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_NATIVE_DIR = os.path.join(_REPO, "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libshotgun_io.so")
+
+STATUS_OK = 0
+STATUS_NO_RECORDS = 1
+STATUS_DUPLICATE_ID = 2
+STATUS_UNPARSED = 3
+STATUS_LEN_MISMATCH = 4
+STATUS_NON_ASCII = 5
+
+_lib = None
+_lib_failed = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _lib_failed
+    if _lib is not None or _lib_failed:
+        return _lib
+    if os.environ.get("SHOTGUN_TPU_NATIVE", "1") == "0":
+        _lib_failed = True
+        return None
+    try:
+        src = os.path.join(_NATIVE_DIR, "shotgun_io.cpp")
+        if (not os.path.exists(_LIB_PATH)
+                or os.path.getmtime(_LIB_PATH) < os.path.getmtime(src)):
+            subprocess.run(
+                ["make", "-s"], cwd=_NATIVE_DIR, check=True,
+                capture_output=True, timeout=120,
+            )
+        lib = ctypes.CDLL(_LIB_PATH)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.stpu_fastq_scan.restype = ctypes.c_int
+        lib.stpu_fastq_scan.argtypes = [u8p, ctypes.c_int64, i64p]
+        lib.stpu_fastq_fill.restype = ctypes.c_int
+        lib.stpu_fastq_fill.argtypes = [
+            u8p, ctypes.c_int64, u8p, u8p, i32p, ctypes.c_int64, i64p, u8p,
+            i32p]
+        lib.stpu_fasta_scan.restype = ctypes.c_int
+        lib.stpu_fasta_scan.argtypes = [u8p, ctypes.c_int64, i64p]
+        lib.stpu_fasta_fill.restype = ctypes.c_int
+        lib.stpu_fasta_fill.argtypes = [u8p, ctypes.c_int64, u8p, i64p, i64p, u8p]
+        _lib = lib
+    except Exception:
+        _lib_failed = True
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _as_u8(buf: bytes) -> Tuple[ctypes.POINTER(ctypes.c_uint8), int]:
+    arr = np.frombuffer(buf, dtype=np.uint8)
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), arr.size
+
+
+def _ptr(a: np.ndarray, ctype):
+    return a.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+class NativeParseError(Exception):
+    def __init__(self, status: int, err_index: int, err_aux: int) -> None:
+        super().__init__(f"native parse status {status}")
+        self.status = status
+        self.err_index = err_index
+        self.err_aux = err_aux
+
+
+def fastq_parse(data: bytes):
+    """Returns (codes [N, Lmax] u8, qual [N, Lmax] u8, lengths [N] i32,
+    ids list[str], space_len [N] i32) or raises NativeParseError / returns
+    None if the lib is unavailable or input is non-ASCII (caller falls
+    back)."""
+    lib = _load()
+    if lib is None:
+        return None
+    p, n = _as_u8(data)
+    info = np.zeros(8, dtype=np.int64)
+    status = lib.stpu_fastq_scan(p, n, _ptr(info, ctypes.c_int64))
+    if status == STATUS_NON_ASCII:
+        return None
+    if status != STATUS_OK:
+        raise NativeParseError(status, int(info[3]), int(info[4]))
+    n_rec, lmax, idb = int(info[0]), int(info[1]), int(info[2])
+    lmax = max(lmax, 1)
+    codes = np.zeros((n_rec, lmax), dtype=np.uint8)
+    qual = np.zeros((n_rec, lmax), dtype=np.uint8)
+    lengths = np.zeros(n_rec, dtype=np.int32)
+    id_offsets = np.zeros(n_rec + 1, dtype=np.int64)
+    id_buf = np.zeros(max(idb, 1), dtype=np.uint8)
+    space_len = np.zeros(n_rec, dtype=np.int32)
+    lib.stpu_fastq_fill(
+        p, n, _ptr(codes, ctypes.c_uint8), _ptr(qual, ctypes.c_uint8),
+        _ptr(lengths, ctypes.c_int32), lmax,
+        _ptr(id_offsets, ctypes.c_int64), _ptr(id_buf, ctypes.c_uint8),
+        _ptr(space_len, ctypes.c_int32),
+    )
+    blob = id_buf.tobytes()
+    ids = [
+        blob[id_offsets[i]: id_offsets[i + 1]].decode("ascii")
+        for i in range(n_rec)
+    ]
+    return codes, qual, lengths, ids, space_len
+
+
+def fasta_parse(data: bytes):
+    """Returns (codes concat u8, seq_offsets [N+1] i64, descriptions
+    list[str]) or None for fallback."""
+    lib = _load()
+    if lib is None:
+        return None
+    p, n = _as_u8(data)
+    info = np.zeros(8, dtype=np.int64)
+    status = lib.stpu_fasta_scan(p, n, _ptr(info, ctypes.c_int64))
+    if status == STATUS_NON_ASCII:
+        return None
+    if status != STATUS_OK:
+        raise NativeParseError(status, int(info[3]), int(info[4]))
+    n_rec, total_bases, db = int(info[0]), int(info[1]), int(info[2])
+    codes = np.zeros(max(total_bases, 1), dtype=np.uint8)
+    seq_offsets = np.zeros(n_rec + 1, dtype=np.int64)
+    desc_offsets = np.zeros(n_rec + 1, dtype=np.int64)
+    desc_buf = np.zeros(max(db, 1), dtype=np.uint8)
+    lib.stpu_fasta_fill(
+        p, n, _ptr(codes, ctypes.c_uint8), _ptr(seq_offsets, ctypes.c_int64),
+        _ptr(desc_offsets, ctypes.c_int64), _ptr(desc_buf, ctypes.c_uint8),
+    )
+    blob = desc_buf.tobytes()
+    descriptions = [
+        blob[desc_offsets[i]: desc_offsets[i + 1]].decode("ascii")
+        for i in range(n_rec)
+    ]
+    return codes[:total_bases], seq_offsets, descriptions

@@ -195,15 +195,29 @@ class SchemaParser:
 
     # -- access -------------------------------------------------------------
 
+    def _ensure_records(self) -> None:
+        """Materialize SeqRecords when backed by native arrays (no-op for
+        the regex path)."""
+
     def __iter__(self) -> Iterator[SeqRecord]:
+        self._ensure_records()
         return iter(self._records)
 
     def __len__(self) -> int:
+        self._ensure_records()
         return len(self._records)
 
     @property
     def records(self) -> List[SeqRecord]:
+        self._ensure_records()
         return self._records
+
+    @property
+    def num_records(self) -> int:
+        native = getattr(self, "_native", None)
+        if native is not None and not self._records:
+            return len(native[2] if len(native) == 3 else native[3])
+        return len(self._records)
 
 
 # ---------------------------------------------------------------------------
@@ -229,6 +243,38 @@ class FASTAParser(SchemaParser):
             strip_chars=r"\s",
         ),
     )
+
+    _native: Optional[tuple] = None  # (codes, offsets, descriptions)
+
+    @classmethod
+    def from_native(cls, codes, offsets, descriptions) -> "FASTAParser":
+        self = cls()
+        self._native = (codes, offsets, descriptions)
+        return self
+
+    def _ensure_records(self) -> None:
+        if self._native is None or self._records:
+            return
+        from shotgun_tpu import constants as C
+        codes, offsets, descriptions = self._native
+        bases = C.CODE_TO_BASE[codes % 5]
+        for i, desc in enumerate(descriptions):
+            seq = bases[offsets[i]: offsets[i + 1]].tobytes().decode("ascii")
+            self._records.append(
+                SeqRecord([("description", desc), ("genome", seq)])
+            )
+
+    def to_genome_arrays(self):
+        """Packed arrays without a string round-trip when native-parsed."""
+        from shotgun_tpu.io.packing import GenomeArrays, pack_genomes
+        if self._native is not None:
+            codes, offsets, descriptions = self._native
+            return GenomeArrays(
+                descriptions=list(descriptions),
+                codes=codes,
+                offsets=offsets,
+            )
+        return pack_genomes(self.records)
 
 
 class FASTQParser(SchemaParser):
@@ -273,6 +319,40 @@ class FASTQParser(SchemaParser):
                     f"Mismatch in record {i + 1} between nucleotide length: {ns} "
                     f"and PHRED section lengths: {nq}"
                 )
+
+    _native: Optional[tuple] = None  # (codes, qual, lengths, ids, space_len)
+
+    @classmethod
+    def from_native(cls, codes, qual, lengths, ids, space_len) -> "FASTQParser":
+        self = cls()
+        self._native = (codes, qual, lengths, ids, space_len)
+        return self
+
+    def _ensure_records(self) -> None:
+        if self._native is None or self._records:
+            return
+        from shotgun_tpu import constants as C
+        codes, qual, lengths, ids, space_len = self._native
+        bases = C.CODE_TO_BASE[codes % 5]
+        for i, rid in enumerate(ids):
+            li = int(lengths[i])
+            seq = bases[i, :li].tobytes().decode("ascii")
+            q = qual[i, :li].tobytes().decode("ascii")
+            self._records.append(SeqRecord([
+                ("identifier", rid),
+                ("sequence", seq),
+                ("space", "." * int(space_len[i])),
+                ("quality_sequence", q),
+            ]))
+
+    def to_read_batch(self):
+        """Packed ReadBatch without a string round-trip when native-parsed."""
+        from shotgun_tpu.io.packing import ReadBatch, pack_reads
+        if self._native is not None:
+            codes, qual, lengths, ids, _ = self._native
+            return ReadBatch(ids=list(ids), codes=codes, qual=qual,
+                             lengths=lengths)
+        return pack_reads(self.records)
 
 
 # Aliases matching the reference's public container names so users of the

@@ -43,13 +43,20 @@ class KmerReference:
     ) -> None:
         if filter_similar and not (0 <= similarity_threshold <= 1):
             raise ValueError("similarity_threshold must be between 0 and 1")
+        self._container = None
         if _index is not None:
             self.index = _index
         else:
-            records = list(fasta_record_container)
-            genomes = pack_genomes(records)
+            if hasattr(fasta_record_container, "to_genome_arrays"):
+                # native/array-backed container: no string round-trip
+                genomes = fasta_record_container.to_genome_arrays()
+                self._container = fasta_record_container
+                self._records: Optional[List[SeqRecord]] = None
+            else:
+                records = list(fasta_record_container)
+                genomes = pack_genomes(records)
+                self._records = records
             self.index = build_index(genomes, k)
-            self._records: Optional[List[SeqRecord]] = records
             if filter_similar:
                 self.index = apply_similarity_filter(self.index, similarity_threshold)
         if not hasattr(self, "_records"):
@@ -77,11 +84,14 @@ class KmerReference:
 
     def _materialized_records(self) -> List[SeqRecord]:
         if self._records is None:
-            # reconstructed from a .kdb: genome strings are not retained
-            self._records = [
-                SeqRecord([("description", d), ("genome", "")])
-                for d in self.index.descriptions
-            ]
+            if self._container is not None:
+                self._records = list(self._container.records)
+            else:
+                # reconstructed from a .kdb: genome strings are not retained
+                self._records = [
+                    SeqRecord([("description", d), ("genome", "")])
+                    for d in self.index.descriptions
+                ]
         return self._records
 
     def _encode_query(self, kmer: str) -> Optional[int]:

@@ -1,0 +1,186 @@
+"""Native C++ parser vs regex engine: cross-validation fuzz.
+
+The native scanner must agree with the regex engine on every input:
+same accept/reject decision, same records (ids, sequences, qualities,
+descriptions, cleaned genomes), and on the CLI path the same final
+exception type.  Mutations cover the grammar's edge cases: blank lines,
+trailing whitespace, resync on '@'/'>' lines, illegal chars, \r\n endings,
+duplicate ids, length mismatches, whitespace-only genome bodies.
+"""
+
+import random
+
+import pytest
+
+from shotgun_tpu.io import native
+from shotgun_tpu.io.records import (
+    FASTAParser,
+    FASTQParser,
+    NoRecordsInData,
+)
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native parser unavailable"
+)
+
+QUALITY_CHARS = (
+    r"`1234567890-=qwertyuiop[]\asdfghjkl;'zxcvbnm,./"
+    r'~!@#$%^&*()_+QWERTYUIOP{}|ASDFGHJKL:"ZXCVBNM<>?'
+)
+
+
+def regex_fastq(text):
+    p = FASTQParser()
+    try:
+        p.parse_records(text)
+    except Exception as exc:
+        return ("error", type(exc).__name__)
+    return ("ok", [
+        (r.identifier, r["sequence"], r["space"], r["quality_sequence"])
+        for r in p
+    ])
+
+
+def native_fastq(text):
+    try:
+        res = native.fastq_parse(text.encode("utf-8"))
+    except native.NativeParseError as exc:
+        return ("error", exc.status)
+    if res is None:
+        return ("fallback", None)
+    p = FASTQParser.from_native(*res)
+    return ("ok", [
+        (r.identifier, r["sequence"], r["space"], r["quality_sequence"])
+        for r in p
+    ])
+
+
+def regex_fasta(text):
+    p = FASTAParser()
+    try:
+        p.parse_records(text)
+    except Exception as exc:
+        return ("error", type(exc).__name__)
+    return ("ok", [(r.identifier, r["genome"]) for r in p])
+
+
+def native_fasta(text):
+    try:
+        res = native.fasta_parse(text.encode("utf-8"))
+    except native.NativeParseError as exc:
+        return ("error", exc.status)
+    if res is None:
+        return ("fallback", None)
+    p = FASTAParser.from_native(*res)
+    return ("ok", [(r.identifier, r["genome"]) for r in p])
+
+
+def check_agree(text, kind):
+    if kind == "fastq":
+        ref, nat = regex_fastq(text), native_fastq(text)
+    else:
+        ref, nat = regex_fasta(text), native_fasta(text)
+    if nat[0] == "fallback":
+        return  # non-ASCII etc: regex path used either way
+    if ref[0] == "error":
+        assert nat[0] == "error", (
+            f"regex rejected ({ref[1]}) but native accepted: {text!r}"
+        )
+    else:
+        assert nat[0] == "ok", (
+            f"regex accepted but native rejected ({nat[1]}): {text!r}"
+        )
+        assert nat[1] == ref[1], f"record mismatch on {text!r}"
+
+
+FASTQ_SEEDS = [
+    "@r1\nACGT\n+\nIIII\n",
+    "@r1\nACGT\n+\nIIII\n@r2\nTTTT\n+\n!!!!\n",
+    "@r1\nACGT\n+...\nIIII\n",
+    "@r one  \nACGT\n+\nIIII\n",
+]
+FASTA_SEEDS = [
+    ">g1\nACGT\n",
+    ">g1\nACGT\nNNAC\n>g2\nTTTT\n",
+    ">g1 desc here\nACGT\n\n>g2\nTT\n",
+    ">g1\n \n>g2\nACGT\n",
+]
+MUTATIONS = [
+    lambda s, rng: s + "\n",
+    lambda s, rng: s + "\n\n",
+    lambda s, rng: s + "   \n",
+    lambda s, rng: s + "trailing",
+    lambda s, rng: "\n" + s,
+    lambda s, rng: " \n" + s,
+    lambda s, rng: "garbage\n" + s,
+    lambda s, rng: s.rstrip("\n"),
+    lambda s, rng: s.replace("\n", "\r\n"),
+    lambda s, rng: s[: rng.randrange(max(len(s), 1))],
+    lambda s, rng: s[: rng.randrange(max(len(s), 1))] + s,
+    lambda s, rng: s.replace("ACGT", "ACXT", 1),
+    lambda s, rng: s.replace("ACGT", "AC GT", 1),
+    lambda s, rng: s.replace("ACGT", "", 1),
+    lambda s, rng: s.replace("IIII", "III", 1),
+    lambda s, rng: s.replace("IIII", "II I", 1),
+    lambda s, rng: s.replace("@r2", "@r1", 1),
+    lambda s, rng: s.replace("+", "-", 1),
+    lambda s, rng: s.replace("+", "+..", 1),
+    lambda s, rng: s + "@x\nACGT\n+\nIIII\n",
+    lambda s, rng: s + ">x\nACGT\n",
+    lambda s, rng: s.replace("\n", "\n\n", 1),
+    lambda s, rng: "@I\nIIII\n" + s,   # quality-lookalike resync case
+    lambda s, rng: s.replace("g1", "g1\tx", 1),
+    lambda s, rng: s.replace("r1", "r1 \t", 1),
+    lambda s, rng: s.replace("T", "N", 1),
+]
+
+
+@pytest.mark.parametrize("kind,seeds", [
+    ("fastq", FASTQ_SEEDS), ("fasta", FASTA_SEEDS),
+])
+def test_seeds_and_single_mutations(kind, seeds):
+    rng = random.Random(0)
+    for seed in seeds:
+        check_agree(seed, kind)
+        for mut in MUTATIONS:
+            check_agree(mut(seed, rng), kind)
+
+
+@pytest.mark.parametrize("kind", ["fastq", "fasta"])
+def test_random_mutation_chains(kind):
+    seeds = FASTQ_SEEDS if kind == "fastq" else FASTA_SEEDS
+    rng = random.Random(42)
+    for trial in range(400):
+        s = rng.choice(seeds)
+        for _ in range(rng.randrange(1, 4)):
+            s = rng.choice(MUTATIONS)(s, rng)
+        check_agree(s, kind)
+
+
+def test_random_line_soup():
+    """Random lines assembled from grammar fragments."""
+    rng = random.Random(7)
+    frags = ["@r{}", "ACGT", "ACG", "+", "+...", "IIII", "III", ">g{}",
+             "", " ", "NNNN", "xyz", "@", ">", "ACGTN"]
+    for trial in range(400):
+        n = rng.randrange(1, 10)
+        lines = [rng.choice(frags).format(rng.randrange(4)) for _ in range(n)]
+        text = "\n".join(lines) + rng.choice(["", "\n", "\r\n", "\n\n"])
+        check_agree(text, "fastq")
+        check_agree(text, "fasta")
+
+
+def test_native_throughput_sanity():
+    """Native path should parse a moderately large file correctly."""
+    import numpy as np
+
+    from shotgun_tpu.utils.synth import synth_genomes, synth_reads, to_fastq
+    rng = np.random.default_rng(0)
+    g = synth_genomes(rng, 2, 5000)
+    reads = synth_reads(rng, g, 500, 100)
+    text = to_fastq(reads)
+    res = native.fastq_parse(text.encode())
+    codes, qual, lengths, ids, _ = res
+    assert len(ids) == 500
+    assert (lengths == 100).all()
+    assert (codes[:, :100] == reads.codes).all()
