@@ -19,7 +19,8 @@ def __getattr__(name):
                 "NoRecordsInDataFile"):
         from shotgun_tpu.io import data_file
         return getattr(data_file, name)
-    if name in ("KmerReference", "KDBFormatError"):
+    if name in ("KmerReference", "KDBFormatError", "reverse_complement",
+                "extract_kmers_from_genome"):
         from shotgun_tpu import reference
         return getattr(reference, name)
     if name in ("PseudoAlignment", "Read", "ReadMappingType", "KmerSpecifity",

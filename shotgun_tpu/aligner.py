@@ -76,6 +76,8 @@ class Read:
         self.num_quality_filtered_kmers: int = 0
         self.num_redundant_kmers: int = 0
         self._record_ids: List[int] = []  # mapping list as record indices
+        self._stored: Dict[int, bool] = {}  # kmer id -> specific?
+        self._ref: Optional[KmerReference] = None
 
     def mean_quality(self) -> float:
         return sum(map(ord, self._qual)) / len(self._qual)
@@ -111,6 +113,34 @@ class Read:
         if min_read_quality is not None and self.mean_quality() < min_read_quality:
             return ReadMappingType.UNMAPPED
 
+        self.extract_kmer_references(kmer_reference, min_kmer_quality, max_genomes)
+        if not self._stored:
+            return ReadMappingType.UNMAPPED
+        if self.try_to_align_specific(m):
+            if debug:
+                print(
+                    "[DEBUG pseudo_align]: After try_to_align_specific "
+                    f"self.mapping: {self.mapping.type}"
+                )
+            self.validate_unique_mappings(p)
+            return self.mapping.type
+        if debug:
+            print(
+                "[DEBUG pseudo_align]: After try_to_align_specific "
+                f"self.mapping: {self.mapping.type}, mapped to: {self.mapping}"
+            )
+        return ReadMappingType.AMBIGUOUSLY_MAPPED
+
+    def extract_kmer_references(
+        self,
+        kmer_reference: KmerReference,
+        min_kmer_quality: Optional[int] = None,
+        max_genomes: Optional[int] = None,
+    ) -> None:
+        """Probe every window, apply MKQ/MG gates in occurrence order, and
+        store surviving k-mers by first occurrence
+        (reference kmer.py:410-429)."""
+        self._ref = kmer_reference
         idx = kmer_reference.index
         k = idx.k
         codes = encode_bases(self._seq)
@@ -130,8 +160,8 @@ class Read:
         ).astype(np.int32)
         qual_cs = np.concatenate([[0], np.cumsum(qual_ord)])
 
-        # ordered per-read k-mer store: kid -> (specific, record tuple)
-        stored: Dict[int, bool] = {}
+        # ordered per-read k-mer store: kid -> specific?
+        self._stored: Dict[int, bool] = {}
         for w in range(hits.size):
             if min_kmer_quality is not None:
                 if qual_cs[w + k] - qual_cs[w] < min_kmer_quality * k:
@@ -143,11 +173,11 @@ class Read:
             if max_genomes is not None and genome_counts[kid] > max_genomes:
                 self.num_redundant_kmers += 1
                 continue
-            if kid not in stored:
-                stored[kid] = genome_counts[kid] == 1
+            if kid not in self._stored:
+                self._stored[kid] = bool(genome_counts[kid] == 1)
 
         recs = kmer_reference._materialized_records()
-        for kid, specific in stored.items():
+        for kid, specific in self._stored.items():
             self.kmers[idx.kmer_string(kid)] = ReadKmer(
                 specifity=(
                     KmerSpecifity.SPECIFIC if specific else KmerSpecifity.UNSPECIFIC
@@ -157,53 +187,62 @@ class Read:
                     for r in idx.records_of_kmer(kid)
                 },
             )
-        if not stored:
-            return ReadMappingType.UNMAPPED
 
-        # specific / total distinct-k-mer counts in insertion order
-        spec_counts: Dict[int, int] = {}
-        total_counts: Dict[int, int] = {}
-        for kid, specific in stored.items():
+    def _genome_count_ids(self, map_count: bool = False) -> Dict[int, int]:
+        """Per-record distinct-k-mer counts in insertion order
+        (record ids; reference kmer.py:431-442)."""
+        idx = self._ref.index
+        counts: Dict[int, int] = {}
+        for kid, specific in self._stored.items():
+            if map_count and not specific:
+                continue
             for r in idx.records_of_kmer(kid):
                 r = int(r)
-                total_counts[r] = total_counts.get(r, 0) + 1
-                if specific:
-                    spec_counts[r] = spec_counts.get(r, 0) + 1
+                counts[r] = counts.get(r, 0) + 1
+        return counts
 
-        # m-decision (reference kmer.py:444-462)
-        unique = False
-        if len(spec_counts) == 1:
-            winner = next(iter(spec_counts))
-            unique = True
-        elif len(spec_counts) > 1:
-            by_count = sorted(spec_counts, key=lambda r: spec_counts[r], reverse=True)
-            if spec_counts[by_count[0]] >= spec_counts[by_count[1]] + m:
-                winner = by_count[0]
-                unique = True
-        if unique:
-            self._set_mapping(ReadMappingType.UNIQUELY_MAPPED, [winner], recs)
-            if debug:
-                print(
-                    "[DEBUG pseudo_align]: After try_to_align_specific "
-                    f"self.mapping: {self.mapping.type}"
-                )
-            # p-validation (reference kmer.py:464-480)
-            if p >= 0:
-                mt = total_counts.get(winner, 0)
-                max_total = max(total_counts.values(), default=0)
-                if max_total - mt > p:
-                    amb = [winner] + [r for r, c in total_counts.items() if c >= mt]
-                    self._set_mapping(ReadMappingType.AMBIGUOUSLY_MAPPED, amb, recs)
-            return self.mapping.type
+    def generate_genome_counts(self, map_count: bool = False):
+        """Reference-parity accessor: counts keyed by genome records."""
+        recs = self._ref._materialized_records()
+        return {
+            recs[r]: c for r, c in self._genome_count_ids(map_count).items()
+        }
+
+    def try_to_align_specific(self, m: int) -> bool:
+        """The m-decision over specific k-mer counts
+        (reference kmer.py:444-462)."""
+        if m < 0:
+            raise ValueError("m must be non-negative")
+        spec = self._genome_count_ids(map_count=True)
+        recs = self._ref._materialized_records()
+        if len(spec) == 1:
+            self._set_mapping(
+                ReadMappingType.UNIQUELY_MAPPED, [next(iter(spec))], recs)
+            return True
+        if len(spec) > 1:
+            ranked = sorted(spec, key=lambda r: spec[r], reverse=True)
+            if spec[ranked[0]] >= spec[ranked[1]] + m:
+                self._set_mapping(
+                    ReadMappingType.UNIQUELY_MAPPED, [ranked[0]], recs)
+                return True
         self._set_mapping(
-            ReadMappingType.AMBIGUOUSLY_MAPPED, list(spec_counts.keys()), recs
-        )
-        if debug:
-            print(
-                "[DEBUG pseudo_align]: After try_to_align_specific "
-                f"self.mapping: {self.mapping.type}, mapped to: {self.mapping}"
-            )
-        return ReadMappingType.AMBIGUOUSLY_MAPPED
+            ReadMappingType.AMBIGUOUSLY_MAPPED, list(spec.keys()), recs)
+        return False
+
+    def validate_unique_mappings(self, p: int) -> None:
+        """p-validation; downgrades to ambiguous with the winner listed
+        twice (reference kmer.py:464-480)."""
+        if self.mapping.type != ReadMappingType.UNIQUELY_MAPPED or p < 0:
+            return
+        total = self._genome_count_ids(map_count=False)
+        winner = self._record_ids[0]
+        mt = total.get(winner, 0)
+        max_total = max(total.values(), default=0)
+        if max_total - mt > p:
+            amb = [winner] + [r for r, c in total.items() if c >= mt]
+            self._set_mapping(
+                ReadMappingType.AMBIGUOUSLY_MAPPED, amb,
+                self._ref._materialized_records())
 
     def _set_mapping(
         self, mtype: ReadMappingType, record_ids: List[int], recs: List[SeqRecord]

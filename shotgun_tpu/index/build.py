@@ -141,27 +141,53 @@ def _build_set_table(
             (inverse, (record_of_occ >> 3).astype(np.int64)),
             (np.uint8(1) << (record_of_occ & 7).astype(np.uint8)),
         )
-    set_masks, set_id = np.unique(masks, axis=0, return_inverse=True)
+    if gbytes <= 8 and num_kmers:
+        # dedupe via a uint64 view: one argsort instead of unique(axis=0)
+        padded = np.zeros((num_kmers, 8), dtype=np.uint8)
+        padded[:, :gbytes] = masks
+        as64 = padded.view(np.uint64)[:, 0]
+        order = np.argsort(as64, kind="stable")
+        sk = as64[order]
+        new = np.empty(num_kmers, dtype=bool)
+        new[0] = True
+        new[1:] = sk[1:] != sk[:-1]
+        gid = np.cumsum(new) - 1
+        set_id = np.empty(num_kmers, dtype=np.int32)
+        set_id[order] = gid.astype(np.int32)
+        set_masks = masks[order[new]]
+    else:
+        set_masks, set_id = np.unique(masks, axis=0, return_inverse=True)
+        set_id = set_id.astype(np.int32).reshape(-1)
     set_sizes = np.unpackbits(set_masks, axis=1).sum(axis=1).astype(np.int32)
-    return set_id.astype(np.int32).reshape(-1), set_masks, set_sizes
+    return set_id, set_masks, set_sizes
 
 
-def build_index(genomes: GenomeArrays, k: int) -> KmerIndex:
-    """Scan all genome records and assemble the array index."""
+def build_index(
+    genomes: GenomeArrays, k: int, chunk_bases: int = 1 << 24
+) -> KmerIndex:
+    """Scan all genome records and assemble the array index.
+
+    Very long records are scanned in ``chunk_bases``-sized chunks with a
+    (k-1)-base halo so window extraction is embarrassingly parallel and
+    peak memory stays bounded (SURVEY.md §5.7: the sequence-parallel
+    analog for genome streams)."""
     occ_lo: List[np.ndarray] = []
     occ_hi: List[np.ndarray] = []
     occ_rec: List[np.ndarray] = []
     occ_pos: List[np.ndarray] = []
     record_lengths = np.diff(genomes.offsets)
     for r in range(genomes.num_records):
-        lo, hi, valid = rolling_encode(genomes.record_codes(r), k)
-        if lo.size == 0:
-            continue
-        idx = np.nonzero(valid)[0]
-        occ_lo.append(lo[idx])
-        occ_hi.append(hi[idx])
-        occ_rec.append(np.full(idx.size, r, dtype=np.int32))
-        occ_pos.append(idx.astype(np.int64))
+        codes = genomes.record_codes(r)
+        for chunk_start in range(0, max(codes.size, 1), chunk_bases):
+            chunk = codes[chunk_start: chunk_start + chunk_bases + k - 1]
+            lo, hi, valid = rolling_encode(chunk, k)
+            if lo.size == 0:
+                continue
+            idx = np.nonzero(valid)[0]
+            occ_lo.append(lo[idx])
+            occ_hi.append(hi[idx])
+            occ_rec.append(np.full(idx.size, r, dtype=np.int32))
+            occ_pos.append(idx.astype(np.int64) + chunk_start)
 
     if occ_lo:
         all_lo = np.concatenate(occ_lo)
@@ -192,25 +218,41 @@ def _assemble(
     original_first_seen: Optional[Tuple[np.ndarray, np.ndarray]] = None,
 ) -> KmerIndex:
     keys = pack_key64(all_lo, all_hi)
-    uniq, inverse = np.unique(keys, return_inverse=True)
-    inverse = inverse.reshape(-1)
-    num_kmers = uniq.size
     num_occ = keys.size
+    if num_occ:
+        # one stable argsort yields everything: unique keys, inverse map,
+        # CSR postings in scan order, and first-seen indices (the stable
+        # sort keeps the earliest occurrence first within each key group)
+        order = np.argsort(keys, kind="stable")
+        sk = keys[order]
+        new = np.empty(num_occ, dtype=bool)
+        new[0] = True
+        new[1:] = sk[1:] != sk[:-1]
+        num_kmers = int(new.sum())
+        gid_sorted = np.cumsum(new) - 1
+        inverse = np.empty(num_occ, dtype=np.int64)
+        inverse[order] = gid_sorted
+        uniq = sk[new]
+        first_seen = order[new].astype(np.int64)
+        post_record = all_rec[order]
+        post_pos = all_pos[order]
+        group_starts = np.flatnonzero(new)
+        post_offsets = np.concatenate(
+            [group_starts, [num_occ]]).astype(np.int64)
+    else:
+        uniq = np.zeros(0, dtype=_U64)
+        inverse = np.zeros(0, dtype=np.int64)
+        num_kmers = 0
+        first_seen = np.zeros(0, dtype=np.int64)
+        post_record = all_rec
+        post_pos = all_pos
+        post_offsets = np.zeros(1, dtype=np.int64)
 
     if original_first_seen is not None:
         # carry over first-seen ranks from the pre-filter index
         orig_keys, orig_fs = original_first_seen
-        first_seen = orig_fs[np.searchsorted(orig_keys, uniq)]
-    else:
-        first_seen = np.full(num_kmers, num_occ, dtype=np.int64)
-        if num_occ:
-            np.minimum.at(first_seen, inverse, np.arange(num_occ, dtype=np.int64))
-
-    order = np.argsort(inverse, kind="stable")
-    post_record = all_rec[order]
-    post_pos = all_pos[order]
-    counts = np.bincount(inverse, minlength=num_kmers) if num_occ else np.zeros(num_kmers, dtype=np.int64)
-    post_offsets = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(counts)])
+        if num_kmers:
+            first_seen = orig_fs[np.searchsorted(orig_keys, uniq)]
 
     set_id, set_masks, set_sizes = _build_set_table(
         inverse, all_rec, num_kmers, len(descriptions)

@@ -139,9 +139,10 @@ def align_batch_core(
     member_f = set_member.astype(jnp.float32)          # [S, R]
     member_b = set_member > 0                          # [S, R]
     w_col = w_iota[:, :, None]
-    if s <= SET_DENSE_MAX:
-        # set-space path: reduce over W in set space (one-hot, VPU), then
-        # project into record space on the MXU -- no per-window gather
+    import os as _os
+    _layout_bsw = _os.environ.get("SHOTGUN_TPU_COUNTS_LAYOUT", "bsw") == "bsw"
+    if s <= SET_DENSE_MAX and not _layout_bsw:
+        # [B, W, S] layout variant (kept for A/B tuning)
         s_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, s), 2)
         onehot = sid[..., None] == s_iota              # [B, W, S]
         spec_oh = (onehot & spec_w[..., None]).astype(jnp.float32)
@@ -160,7 +161,35 @@ def align_batch_core(
             jnp.where(tot_oh > 0, w_col, BIG), axis=1)
         fw_spec = jnp.min(
             jnp.where(member_b[None], fw_set_spec[:, :, None], BIG), axis=1
-        ).astype(jnp.int32)                                       # [B, R]
+        ).astype(jnp.int32)
+        fw_total = jnp.min(
+            jnp.where(member_b[None], fw_set_tot[:, :, None], BIG), axis=1
+        ).astype(jnp.int32)
+    elif s <= SET_DENSE_MAX:
+        # set-space path: reduce over W in set space (one-hot, VPU), then
+        # project into record space on the MXU -- no per-window gather.
+        # layout [B, S, W]: W in the lane dimension (S is tiny and would
+        # waste 90%+ of every 128-lane register as the minor dim)
+        s_iota = jax.lax.broadcasted_iota(jnp.int32, (1, s, 1), 1)
+        onehot_t = sid[:, None, :] == s_iota            # [B, S, W]
+        spec_oh_t = onehot_t & spec_w[:, None, :]
+        tot_oh_t = onehot_t & first_occ[:, None, :]
+        spec_sc = jnp.sum(spec_oh_t, axis=2, dtype=jnp.float32)  # [B, S]
+        tot_sc = jnp.sum(tot_oh_t, axis=2, dtype=jnp.float32)
+        spec_counts = jnp.dot(
+            spec_sc, member_f, preferred_element_type=jnp.float32
+        ).astype(jnp.int32)
+        total_counts = jnp.dot(
+            tot_sc, member_f, preferred_element_type=jnp.float32
+        ).astype(jnp.int32)
+        w_row = w_iota[:, None, :]                      # [B, 1, W]
+        fw_set_spec = jnp.min(
+            jnp.where(spec_oh_t, w_row, BIG), axis=2)   # [B, S]
+        fw_set_tot = jnp.min(
+            jnp.where(tot_oh_t, w_row, BIG), axis=2)
+        fw_spec = jnp.min(
+            jnp.where(member_b[None], fw_set_spec[:, :, None], BIG), axis=1
+        ).astype(jnp.int32)                             # [B, R]
         fw_total = jnp.min(
             jnp.where(member_b[None], fw_set_tot[:, :, None], BIG), axis=1
         ).astype(jnp.int32)

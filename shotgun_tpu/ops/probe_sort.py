@@ -100,6 +100,18 @@ def probe_kmers_sorted(
 
     _, sid_p, gc_p = jax.lax.associative_scan(ff, (is_table, sid_s, gc_s))
 
+    import os as _os
+    if _os.environ.get("SHOTGUN_TPU_SORT2", "packed") == "packed":
+        # fold the hit flag into lt's sign (misses -> -1): one fewer operand
+        lt_hit = jnp.where(match & ~is_table, lt, jnp.int32(-1))
+        _, sid2, gc2, lt2 = jax.lax.sort(
+            (val_s, sid_p, gc_p, lt_hit), num_keys=1
+        )
+        slot_pos = lt2[:n].reshape(b, w)
+        hit = slot_pos >= 0
+        set_id = jnp.where(hit, sid2[:n].reshape(b, w), jnp.int32(-1))
+        genome_count = jnp.where(hit, gc2[:n].reshape(b, w), jnp.int32(0))
+        return hit, set_id, genome_count, slot_pos
     hit_s = (match & ~is_table).astype(jnp.int32)
     _, hit2, sid2, gc2, lt2 = jax.lax.sort(
         (val_s, hit_s, sid_p, gc_p, lt), num_keys=1

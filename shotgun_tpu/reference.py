@@ -32,6 +32,18 @@ class KDBFormatError(Exception):
     the reference's 'Error: Incorrect format of input file.' message)."""
 
 
+def reverse_complement(seq: str) -> str:
+    """Reverse complement of a nucleotide string (reference kmer.py:96-103)."""
+    return seq.translate(str.maketrans("ACGT", "TGCA"))[::-1]
+
+
+def extract_kmers_from_genome(k: int, genome: str):
+    """Iterate (position, k-mer) windows (reference kmer.py:84-94)."""
+    if k > len(genome) or k <= 0:
+        return iter([])
+    return ((i, genome[i: i + k]) for i in range(len(genome) - k + 1))
+
+
 class KmerReference:
     def __init__(
         self,
@@ -128,6 +140,21 @@ class KmerReference:
         for r in self.index.records_of_kmer(kid):
             out[recs[r]] = set(int(x) for x in self.index.positions_of(kid, r))
         return out
+
+    def get_kmer_and_reverse_references(self, kmer: str) -> Dict[SeqRecord, Set[int]]:
+        """Merged references of a k-mer and its reverse complement
+        (reference kmer.py:331-351; default-off EXT functionality)."""
+        result: Dict[SeqRecord, Set[int]] = {}
+        for rec, positions in self.get_kmer_references(kmer).items():
+            result[rec] = set(positions)
+        rev = reverse_complement(kmer)
+        if rev != kmer:
+            for rec, positions in self.get_kmer_references(rev).items():
+                if rec in result:
+                    result[rec].update(positions)
+                else:
+                    result[rec] = set(positions)
+        return result
 
     # ------------------------------------------------------------------
     # dumpref summary (exact dict orders; reference kmer.py:300-329)
