@@ -1,12 +1,12 @@
-"""The flagship device pipeline: batched pseudo-alignment under one ``jit``.
+"""The flagship device pipeline: batched pseudo-alignment in two dispatches.
 
 Per batch of packed reads, entirely on device:
 
   1. rolling 2-bit k-mer encode                    (ops/encode.py)
-  2. integer quality gates: MRQ read gate, MKQ window gate
+  2. bucketized hash probe                         (ops/probe.py)
+  3. integer quality gates: MRQ read gate, MKQ window gate
      (raw-``ord`` means as exact integer comparisons;
       reference kmer.py:394-408,419-421)
-  3. bucketized hash probe                         (ops/probe.py)
   4. max-genomes gate                              (reference kmer.py:425-427)
   5. first-occurrence dedupe of k-mer values within a read
      (duplicate k-mers collapse; reference kmer.py:429)
@@ -14,6 +14,15 @@ Per batch of packed reads, entirely on device:
      (reconstructing the reference's dict-insertion orders)
   7. the m/p decision procedure with the reference's exact tie-breaking
      and downgrade quirks                          (reference kmer.py:444-480)
+
+Dispatch structure (the TPU-critical design decision): the hash-table row
+gather runs as its own jitted program (``ops.probe.hash_probe_gather``)
+and everything downstream runs in a second, gather-free program.  XLA
+fuses a large gather with elementwise consumers into a loop fusion that
+runs two orders of magnitude slower than the standalone gather kernel
+(28 ms vs 0.09 ms per 8192-read batch on v5e) -- splitting the dispatch
+keeps both programs on the fast path.  The sort-merge probe variant is
+gather-free by construction and stays in a single dispatch.
 
 Shapes are static per (B, L, R, S) configuration; scalar thresholds are
 traced so changing m/p/quality values never recompiles.
@@ -27,7 +36,7 @@ reductions become XLA collectives over the data axis.
 from __future__ import annotations
 
 import functools
-from typing import Dict, NamedTuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -37,7 +46,12 @@ from shotgun_tpu.utils.platform import configure_platform
 configure_platform()
 
 from shotgun_tpu.ops.encode import rolling_encode_jnp, window_quality_sums
-from shotgun_tpu.ops.probe import HashTableDev, probe_kmers
+from shotgun_tpu.ops.probe import (
+    HashTableDev,
+    hash_probe_gather,
+    probe_kmers,
+    resolve_rows,
+)
 from shotgun_tpu.ops.probe_sort import SortedTableDev, probe_kmers_sorted
 
 BIG = jnp.int32(0x3FFFFFFF)
@@ -59,15 +73,18 @@ class BatchResult(NamedTuple):
     n_hr_kmers: jnp.ndarray     # int32 [B] per-occurrence max-genomes count
 
 
-#: widest set-space (distinct genome-set count) for which counts run in
-#: dense one-hot + MXU-matmul form; larger tables fall back to a gather
-SET_DENSE_MAX = 64
+#: per-chunk set width for the one-hot count reduction; sets are processed
+#: in chunks of this many so the [B, SET_CHUNK, W] one-hot stays VMEM-sized
+SET_CHUNK = 64
+#: widest set-space handled by the chunked dense path; beyond this the
+#: per-batch one-hot work dominates and the (slower, gather-free at probe
+#: level but gather-using here) fallback takes over
+SET_DENSE_MAX = 1024
 
 
-def align_batch_core(
-    probe_tab,                # HashTableDev or SortedTableDev
+def core_from_probe(
+    probe_res: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray],
     set_member: jnp.ndarray,  # uint8  [S, R]
-    codes: jnp.ndarray,       # uint8  [B, L]
     qual: jnp.ndarray,        # uint8  [B, L]
     lengths: jnp.ndarray,     # int32  [B]
     m: jnp.ndarray,           # int32 scalar
@@ -81,13 +98,17 @@ def align_batch_core(
     has_mkq: bool,
     has_mg: bool,
 ) -> BatchResult:
-    b, l = codes.shape
-    w = l - k + 1
+    """Everything after the probe: gates, dedupe, counts, m/p decision.
+
+    Contains no large gathers (see module docstring); safe to trace into
+    any jit, including shard_map bodies.
+    """
+    hit, sid, gcount, slot_pos = probe_res
+    b, w = hit.shape
     r = set_member.shape[1]
     w_iota = jax.lax.broadcasted_iota(jnp.int32, (b, w), 1)
     r_iota = jax.lax.broadcasted_iota(jnp.int32, (b, r), 1)
 
-    lo, hi = rolling_encode_jnp(codes, k)
     lens = lengths.astype(jnp.int32)
     valid = w_iota < (lens - jnp.int32(k - 1))[:, None]
 
@@ -107,12 +128,7 @@ def align_batch_core(
         kq_ok = valid
         n_qual_kmers = jnp.zeros((b,), dtype=jnp.int32)
 
-    # ---- probe + max-genomes gate ----
-    if isinstance(probe_tab, SortedTableDev):
-        hit, sid, gcount, slot_pos = probe_kmers_sorted(probe_tab, lo, hi)
-    else:
-        hit, sid, gcount, slot_pos = probe_kmers(
-            probe_tab.table, probe_tab.stash, lo, hi)
+    # ---- max-genomes gate (reference kmer.py:425-427) ----
     hit = hit & kq_ok
     if has_mg:
         redundant = hit & (gcount > mg)
@@ -134,67 +150,52 @@ def align_batch_core(
     first_occ = stored & ~dup
 
     # ---- per-record counts + first-window keys ----
+    # reduce over W in set space (one-hot, VPU), then project into record
+    # space on the MXU -- no per-window gather.  Sets are processed in
+    # SET_CHUNK-wide chunks so the [B, chunk, W] one-hot stays small;
+    # layout keeps W in the lane dimension (S is small and would waste
+    # 90%+ of every 128-lane register as the minor dim).
     spec_w = first_occ & (gcount == 1)
     s = set_member.shape[0]
     member_f = set_member.astype(jnp.float32)          # [S, R]
     member_b = set_member > 0                          # [S, R]
-    w_col = w_iota[:, :, None]
-    import os as _os
-    _layout_bsw = _os.environ.get("SHOTGUN_TPU_COUNTS_LAYOUT", "bsw") == "bsw"
-    if s <= SET_DENSE_MAX and not _layout_bsw:
-        # [B, W, S] layout variant (kept for A/B tuning)
-        s_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, s), 2)
-        onehot = sid[..., None] == s_iota              # [B, W, S]
-        spec_oh = (onehot & spec_w[..., None]).astype(jnp.float32)
-        tot_oh = (onehot & first_occ[..., None]).astype(jnp.float32)
-        spec_sc = jnp.sum(spec_oh, axis=1)             # [B, S]
-        tot_sc = jnp.sum(tot_oh, axis=1)
-        spec_counts = jnp.dot(
-            spec_sc, member_f, preferred_element_type=jnp.float32
-        ).astype(jnp.int32)
-        total_counts = jnp.dot(
-            tot_sc, member_f, preferred_element_type=jnp.float32
-        ).astype(jnp.int32)
-        fw_set_spec = jnp.min(
-            jnp.where(spec_oh > 0, w_col, BIG), axis=1)          # [B, S]
-        fw_set_tot = jnp.min(
-            jnp.where(tot_oh > 0, w_col, BIG), axis=1)
-        fw_spec = jnp.min(
-            jnp.where(member_b[None], fw_set_spec[:, :, None], BIG), axis=1
-        ).astype(jnp.int32)
-        fw_total = jnp.min(
-            jnp.where(member_b[None], fw_set_tot[:, :, None], BIG), axis=1
-        ).astype(jnp.int32)
-    elif s <= SET_DENSE_MAX:
-        # set-space path: reduce over W in set space (one-hot, VPU), then
-        # project into record space on the MXU -- no per-window gather.
-        # layout [B, S, W]: W in the lane dimension (S is tiny and would
-        # waste 90%+ of every 128-lane register as the minor dim)
-        s_iota = jax.lax.broadcasted_iota(jnp.int32, (1, s, 1), 1)
-        onehot_t = sid[:, None, :] == s_iota            # [B, S, W]
-        spec_oh_t = onehot_t & spec_w[:, None, :]
-        tot_oh_t = onehot_t & first_occ[:, None, :]
-        spec_sc = jnp.sum(spec_oh_t, axis=2, dtype=jnp.float32)  # [B, S]
-        tot_sc = jnp.sum(tot_oh_t, axis=2, dtype=jnp.float32)
-        spec_counts = jnp.dot(
-            spec_sc, member_f, preferred_element_type=jnp.float32
-        ).astype(jnp.int32)
-        total_counts = jnp.dot(
-            tot_sc, member_f, preferred_element_type=jnp.float32
-        ).astype(jnp.int32)
-        w_row = w_iota[:, None, :]                      # [B, 1, W]
-        fw_set_spec = jnp.min(
-            jnp.where(spec_oh_t, w_row, BIG), axis=2)   # [B, S]
-        fw_set_tot = jnp.min(
-            jnp.where(tot_oh_t, w_row, BIG), axis=2)
-        fw_spec = jnp.min(
-            jnp.where(member_b[None], fw_set_spec[:, :, None], BIG), axis=1
-        ).astype(jnp.int32)                             # [B, R]
-        fw_total = jnp.min(
-            jnp.where(member_b[None], fw_set_tot[:, :, None], BIG), axis=1
-        ).astype(jnp.int32)
+    w_row = w_iota[:, None, :]                         # [B, 1, W]
+    if s <= SET_DENSE_MAX:
+        spec_counts = jnp.zeros((b, r), dtype=jnp.float32)
+        total_counts = jnp.zeros((b, r), dtype=jnp.float32)
+        fw_spec = jnp.full((b, r), BIG, dtype=jnp.int32)
+        fw_total = jnp.full((b, r), BIG, dtype=jnp.int32)
+        for c0 in range(0, s, SET_CHUNK):
+            cs = min(SET_CHUNK, s - c0)
+            s_iota = jax.lax.broadcasted_iota(jnp.int32, (1, cs, 1), 1) + c0
+            onehot_t = sid[:, None, :] == s_iota        # [B, cs, W]
+            spec_oh_t = onehot_t & spec_w[:, None, :]
+            tot_oh_t = onehot_t & first_occ[:, None, :]
+            spec_sc = jnp.sum(spec_oh_t, axis=2, dtype=jnp.float32)  # [B, cs]
+            tot_sc = jnp.sum(tot_oh_t, axis=2, dtype=jnp.float32)
+            mf = member_f[c0: c0 + cs]                  # [cs, R]
+            mb = member_b[c0: c0 + cs]
+            spec_counts = spec_counts + jnp.dot(
+                spec_sc, mf, preferred_element_type=jnp.float32)
+            total_counts = total_counts + jnp.dot(
+                tot_sc, mf, preferred_element_type=jnp.float32)
+            fw_set_spec = jnp.min(
+                jnp.where(spec_oh_t, w_row, BIG), axis=2)   # [B, cs]
+            fw_set_tot = jnp.min(
+                jnp.where(tot_oh_t, w_row, BIG), axis=2)
+            fw_spec = jnp.minimum(fw_spec, jnp.min(
+                jnp.where(mb[None], fw_set_spec[:, :, None], BIG), axis=1
+            ).astype(jnp.int32))
+            fw_total = jnp.minimum(fw_total, jnp.min(
+                jnp.where(mb[None], fw_set_tot[:, :, None], BIG), axis=1
+            ).astype(jnp.int32))
+        spec_counts = spec_counts.astype(jnp.int32)
+        total_counts = total_counts.astype(jnp.int32)
     else:
-        # gather path for wide set tables
+        # gather fallback for extremely wide set tables (correct but off
+        # the fast path; real workloads with S this large should use a
+        # sharded table -- SURVEY.md §5.7)
+        w_col = w_iota[:, :, None]
         mem_idx = jax.lax.optimization_barrier(jnp.where(stored, sid, 0))
         mem = jnp.take(set_member, mem_idx, axis=0)    # [B, W, R] u8
         mem_f = mem.astype(jnp.float32)
@@ -222,12 +223,14 @@ def align_batch_core(
         (spec_counts == maxc[:, None]) & (spec_counts > 0), fw_spec, BIG
     )
     winner = jnp.argmin(tie_key, axis=1).astype(jnp.int32)
-    sc_excl = jnp.where(r_iota == winner[:, None], jnp.int32(-1), spec_counts)
+    winner_oh = r_iota == winner[:, None]
+    sc_excl = jnp.where(winner_oh, jnp.int32(-1), spec_counts)
     second_val = jnp.max(sc_excl, axis=1)
     unique_spec = (n_spec == 1) | ((n_spec > 1) & (maxc >= second_val + m))
 
     # ---- p-validation / downgrade (reference kmer.py:464-480) ----
-    mt = jnp.take_along_axis(total_counts, winner[:, None], axis=1)[:, 0]
+    # winner's total count via one-hot sum (no gather)
+    mt = jnp.sum(jnp.where(winner_oh, total_counts, 0), axis=1)
     max_total = jnp.max(total_counts, axis=1)
     downgraded = unique_spec & (p >= 0) & ((max_total - mt) > p)
 
@@ -251,6 +254,41 @@ def align_batch_core(
         read_filtered=read_filtered,
         n_qual_kmers=n_qual_kmers,
         n_hr_kmers=n_hr_kmers,
+    )
+
+
+def align_batch_core(
+    probe_tab,                # HashTableDev or SortedTableDev
+    set_member: jnp.ndarray,  # uint8  [S, R]
+    codes: jnp.ndarray,       # uint8  [B, L]
+    qual: jnp.ndarray,        # uint8  [B, L]
+    lengths: jnp.ndarray,     # int32  [B]
+    m: jnp.ndarray,
+    p: jnp.ndarray,
+    mrq: jnp.ndarray,
+    mkq: jnp.ndarray,
+    mg: jnp.ndarray,
+    *,
+    k: int,
+    has_mrq: bool,
+    has_mkq: bool,
+    has_mg: bool,
+) -> BatchResult:
+    """Single-trace form: probe + everything downstream in one program.
+
+    Used where one program is required (shard_map bodies with the
+    gather-free sorted table, compile checks, CPU tests).  For the hash
+    table on TPU prefer ``align_batch`` which splits the gather into its
+    own dispatch.
+    """
+    lo, hi = rolling_encode_jnp(codes, k)
+    if isinstance(probe_tab, SortedTableDev):
+        probe_res = probe_kmers_sorted(probe_tab, lo, hi)
+    else:
+        probe_res = probe_kmers(probe_tab.table, probe_tab.stash, lo, hi)
+    return core_from_probe(
+        probe_res, set_member, qual, lengths, m, p, mrq, mkq, mg,
+        k=k, has_mrq=has_mrq, has_mkq=has_mkq, has_mg=has_mg,
     )
 
 
@@ -329,10 +367,67 @@ def aggregate_batch(res: BatchResult, row_valid: jnp.ndarray) -> AggResult:
 
 @functools.partial(
     jax.jit,
-    static_argnames=(
-        "k", "has_mrq", "has_mkq", "has_mg", "with_aggregate",
-    ),
+    static_argnames=("k", "has_mrq", "has_mkq", "has_mg", "with_aggregate"),
+    donate_argnums=(0,),
 )
+def _hash_finish(
+    rows,            # uint32 [B, W, slots, 4] -- donated, freed after use
+    bidx,            # int32  [B, W]
+    stash,           # uint32 [stash_n, 4]
+    set_member,
+    codes,
+    qual,
+    lengths,
+    row_valid,
+    m, p, mrq, mkq, mg,
+    *,
+    k: int,
+    has_mrq: bool,
+    has_mkq: bool,
+    has_mg: bool,
+    with_aggregate: bool,
+):
+    """Stage 2 for the hash probe: resolve pre-gathered rows + classify."""
+    lo, hi = rolling_encode_jnp(codes, k)
+    probe_res = resolve_rows(rows, bidx, stash, lo, hi)
+    res = core_from_probe(
+        probe_res, set_member, qual, lengths, m, p, mrq, mkq, mg,
+        k=k, has_mrq=has_mrq, has_mkq=has_mkq, has_mg=has_mg,
+    )
+    if with_aggregate:
+        return res, aggregate_batch(res, row_valid)
+    return res
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "has_mrq", "has_mkq", "has_mg", "with_aggregate"),
+)
+def _sorted_align(
+    probe_tab,
+    set_member,
+    codes,
+    qual,
+    lengths,
+    row_valid,
+    m, p, mrq, mkq, mg,
+    *,
+    k: int,
+    has_mrq: bool,
+    has_mkq: bool,
+    has_mg: bool,
+    with_aggregate: bool,
+):
+    """Single-dispatch path for the gather-free sort-merge probe."""
+    res = align_batch_core(
+        probe_tab, set_member, codes, qual, lengths, m, p, mrq, mkq, mg,
+        k=k, has_mrq=has_mrq, has_mkq=has_mkq, has_mg=has_mg,
+    )
+    if with_aggregate:
+        return res, aggregate_batch(res, row_valid)
+    return res
+
+
 def align_batch(
     probe_tab,
     set_member,
@@ -352,11 +447,24 @@ def align_batch(
     has_mg: bool,
     with_aggregate: bool = True,
 ):
-    """Jitted entry: per-read results and (optionally) device aggregation."""
-    res = align_batch_core(
-        probe_tab, set_member, codes, qual, lengths, m, p, mrq, mkq, mg,
+    """Batch entry point: per-read results and (optionally) aggregation.
+
+    Host-level dispatcher: the hash-table path runs as two jitted programs
+    (standalone gather, then gather-free finish -- see module docstring);
+    the sorted-table path is one program.  All device work is async; the
+    return values are unfetched device arrays either way.
+    """
+    if isinstance(probe_tab, HashTableDev):
+        rows, bidx = hash_probe_gather(probe_tab.table, codes, k=k)
+        return _hash_finish(
+            rows, bidx, probe_tab.stash, set_member, codes, qual, lengths,
+            row_valid, m, p, mrq, mkq, mg,
+            k=k, has_mrq=has_mrq, has_mkq=has_mkq, has_mg=has_mg,
+            with_aggregate=with_aggregate,
+        )
+    return _sorted_align(
+        probe_tab, set_member, codes, qual, lengths, row_valid,
+        m, p, mrq, mkq, mg,
         k=k, has_mrq=has_mrq, has_mkq=has_mkq, has_mg=has_mg,
+        with_aggregate=with_aggregate,
     )
-    if with_aggregate:
-        return res, aggregate_batch(res, row_valid)
-    return res

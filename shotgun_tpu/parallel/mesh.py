@@ -6,12 +6,11 @@ vectors and filter counters merge with exact integer ``psum`` collectives
 and first-encounter order keys with ``pmin`` -- so dumpalign output is
 invariant to the shard count by construction.
 
-Two equivalent paths are provided:
-
-* ``align_aggregate_sharded`` -- explicit ``shard_map`` + psum/pmin
-  (the collectives are visible; this is the scalable production path);
-* plain ``models.pipeline.align_batch`` under a sharded ``jit`` -- GSPMD
-  inserts the same collectives automatically (used by tests to cross-check).
+The hash-probe path keeps the dispatch split of models/pipeline.py under
+``shard_map``: a first program does the shard-local standalone bucket
+gather, a second gather-free program resolves, classifies, and psum-merges
+(see ops/probe.py for why the gather must not fuse with its consumers).
+The sort-merge probe is gather-free and runs as one program.
 """
 
 from __future__ import annotations
@@ -27,7 +26,10 @@ from shotgun_tpu.models.pipeline import (
     AggResult,
     aggregate_batch,
     align_batch_core,
+    core_from_probe,
 )
+from shotgun_tpu.ops.encode import mix32, rolling_encode_jnp
+from shotgun_tpu.ops.probe import HashTableDev, resolve_rows
 
 
 def make_mesh(devices: Optional[Sequence] = None, axis: str = "data") -> Mesh:
@@ -35,12 +37,45 @@ def make_mesh(devices: Optional[Sequence] = None, axis: str = "data") -> Mesh:
     return Mesh(devs, (axis,))
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "mesh", "k", "has_mrq", "has_mkq", "has_mg",
-    ),
-)
+def _lifted_psum_agg(local: AggResult, rows_per_shard: int, r: int) -> AggResult:
+    """Merge shard-local aggregation into the global result (inside
+    shard_map): integer psum for counters, pmin for order keys lifted to
+    global read order (global_row = shard_idx * rows_per_shard + local_row)."""
+    shard_idx = jax.lax.axis_index("data")
+    offset = shard_idx.astype(jnp.int32) * jnp.int32(rows_per_shard * (r + 2))
+    big = jnp.int32(0x3FFFFFFF)
+    lifted = jnp.where(local.first_key < big, local.first_key + offset, big)
+    psum = lambda x: jax.lax.psum(x, "data")
+    return AggResult(
+        n_unique=psum(local.n_unique),
+        n_ambiguous=psum(local.n_ambiguous),
+        n_unmapped=psum(local.n_unmapped),
+        n_filtered_reads=psum(local.n_filtered_reads),
+        n_filtered_kmers=psum(local.n_filtered_kmers),
+        n_hr_kmers=psum(local.n_hr_kmers),
+        unique_by_rec=psum(local.unique_by_rec),
+        amb_by_rec=psum(local.amb_by_rec),
+        first_key=jax.lax.pmin(lifted, "data"),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "k"))
+def _sharded_hash_gather(table, codes, *, mesh: Mesh, k: int):
+    """Stage 1 under shard_map: shard-local standalone bucket-row gather."""
+    def fn(table, codes):
+        lo, hi = rolling_encode_jnp(codes, k)
+        nb = table.shape[0]
+        bidx = (mix32(lo, hi, jnp) & jnp.uint32(nb - 1)).astype(jnp.int32)
+        rows = jnp.take(table, bidx, axis=0)
+        return rows, bidx
+
+    return jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(), P("data")),
+        out_specs=(P("data"), P("data")),
+    )(table, codes)
+
+
 def align_aggregate_sharded(
     probe_tab,
     set_member,
@@ -62,48 +97,92 @@ def align_aggregate_sharded(
 ) -> AggResult:
     """Shard reads over the mesh's 'data' axis; return globally-merged
     aggregation (identical to single-device ``aggregate_batch``)."""
+    if isinstance(probe_tab, HashTableDev):
+        rows, bidx = _sharded_hash_gather(probe_tab.table, codes, mesh=mesh, k=k)
+        return _sharded_finish_hash(
+            rows, bidx, probe_tab.stash, set_member, codes, qual, lengths,
+            row_valid, m, p, mrq, mkq, mg,
+            mesh=mesh, k=k, has_mrq=has_mrq, has_mkq=has_mkq, has_mg=has_mg,
+        )
+    return _sharded_single(
+        probe_tab, set_member, codes, qual, lengths, row_valid,
+        m, p, mrq, mkq, mg,
+        mesh=mesh, k=k, has_mrq=has_mrq, has_mkq=has_mkq, has_mg=has_mg,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "k", "has_mrq", "has_mkq", "has_mg"),
+    donate_argnums=(0,),
+)
+def _sharded_finish_hash(
+    rows, bidx, stash, set_member, codes, qual, lengths, row_valid,
+    m, p, mrq, mkq, mg,
+    *,
+    mesh: Mesh, k: int, has_mrq: bool, has_mkq: bool, has_mg: bool,
+) -> AggResult:
     n_shards = mesh.shape["data"]
-    b = codes.shape[0]
-    rows_per_shard = b // n_shards
+    rows_per_shard = codes.shape[0] // n_shards
     r = set_member.shape[1]
 
-    def shard_fn(probe_tab, set_member, codes, qual, lengths, row_valid,
-                 m, p, mrq, mkq, mg):
+    def fn(rows, bidx, stash, set_member, codes, qual, lengths, row_valid,
+           m, p, mrq, mkq, mg):
+        lo, hi = rolling_encode_jnp(codes, k)
+        probe_res = resolve_rows(rows, bidx, stash, lo, hi)
+        res = core_from_probe(
+            probe_res, set_member, qual, lengths, m, p, mrq, mkq, mg,
+            k=k, has_mrq=has_mrq, has_mkq=has_mkq, has_mg=has_mg,
+        )
+        local = aggregate_batch(res, row_valid)
+        return _lifted_psum_agg(local, rows_per_shard, r)
+
+    return jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(
+            P("data"), P("data"), P(), P(),
+            P("data"), P("data"), P("data"), P("data"),
+            P(), P(), P(), P(), P(),
+        ),
+        out_specs=P(),
+    )(rows, bidx, stash, set_member, codes, qual, lengths, row_valid,
+      m, p, mrq, mkq, mg)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "k", "has_mrq", "has_mkq", "has_mg"),
+)
+def _sharded_single(
+    probe_tab, set_member, codes, qual, lengths, row_valid,
+    m, p, mrq, mkq, mg,
+    *,
+    mesh: Mesh, k: int, has_mrq: bool, has_mkq: bool, has_mg: bool,
+) -> AggResult:
+    """One-program path (sort-merge probe: gather-free by construction)."""
+    n_shards = mesh.shape["data"]
+    rows_per_shard = codes.shape[0] // n_shards
+    r = set_member.shape[1]
+
+    def fn(probe_tab, set_member, codes, qual, lengths, row_valid,
+           m, p, mrq, mkq, mg):
         res = align_batch_core(
             probe_tab, set_member, codes, qual, lengths, m, p, mrq, mkq, mg,
             k=k, has_mrq=has_mrq, has_mkq=has_mkq, has_mg=has_mg,
         )
         local = aggregate_batch(res, row_valid)
-        # lift shard-local first-encounter keys to global read order:
-        # global_row = shard_idx * rows_per_shard + local_row
-        shard_idx = jax.lax.axis_index("data")
-        offset = shard_idx.astype(jnp.int32) * jnp.int32(rows_per_shard * (r + 2))
-        big = jnp.int32(0x3FFFFFFF)
-        lifted = jnp.where(local.first_key < big, local.first_key + offset, big)
-        psum = lambda x: jax.lax.psum(x, "data")
-        return AggResult(
-            n_unique=psum(local.n_unique),
-            n_ambiguous=psum(local.n_ambiguous),
-            n_unmapped=psum(local.n_unmapped),
-            n_filtered_reads=psum(local.n_filtered_reads),
-            n_filtered_kmers=psum(local.n_filtered_kmers),
-            n_hr_kmers=psum(local.n_hr_kmers),
-            unique_by_rec=psum(local.unique_by_rec),
-            amb_by_rec=psum(local.amb_by_rec),
-            first_key=jax.lax.pmin(lifted, "data"),
-        )
+        return _lifted_psum_agg(local, rows_per_shard, r)
 
     import jax.tree_util as jtu
     tab_specs = jtu.tree_map(lambda _: P(), probe_tab)
     return jax.shard_map(
-        shard_fn,
-        mesh=mesh,
+        fn, mesh=mesh,
         in_specs=(
-            tab_specs, P(),                 # probe tables + set_member: replicated
-            P("data"), P("data"), P("data"), P("data"),  # read arrays
-            P(), P(), P(), P(), P(),        # scalars
+            tab_specs, P(),
+            P("data"), P("data"), P("data"), P("data"),
+            P(), P(), P(), P(), P(),
         ),
-        out_specs=P(),                      # fully merged, replicated
+        out_specs=P(),
     )(probe_tab, set_member, codes, qual, lengths, row_valid,
       m, p, mrq, mkq, mg)
 
