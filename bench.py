@@ -64,7 +64,7 @@ def main():
     t0 = time.perf_counter()
     ref = KmerReference(K, _index=idx)
     import os as _os
-    method = _os.environ.get("SHOTGUN_TPU_PROBE", "hash")
+    method = _os.environ.get("SHOTGUN_TPU_PROBE", "sort")
     if SLOTS and method == "hash":
         from shotgun_tpu.ops.probe import HashTableDev
         pt = build_probe_table(idx.kmer_lo, idx.kmer_hi, idx.set_id,

@@ -54,7 +54,9 @@ from shotgun_tpu.ops.probe import (
 )
 from shotgun_tpu.ops.probe_sort import SortedTableDev, probe_kmers_sorted
 
-BIG = jnp.int32(0x3FFFFFFF)
+import numpy as _np
+
+BIG = _np.int32(0x3FFFFFFF)
 
 # ReadMappingType codes (device-side): reference kmer.py:41-47
 UNMAPPED, UNIQUELY_MAPPED, AMBIGUOUSLY_MAPPED = 0, 1, 2
@@ -97,11 +99,18 @@ def core_from_probe(
     has_mrq: bool,
     has_mkq: bool,
     has_mg: bool,
+    pre_first_occ: jnp.ndarray = None,
 ) -> BatchResult:
     """Everything after the probe: gates, dedupe, counts, m/p decision.
 
     Contains no large gathers (see module docstring); safe to trace into
     any jit, including shard_map bodies.
+
+    ``pre_first_occ``: within-read first-occurrence mask already computed
+    by the probe (ops/probe_sort2.py does it in the sorted domain).  When
+    given, ``probe_res``'s slot_pos may be None and the dedupe block is
+    skipped; the max-genomes gate still masks whole keys (redundancy is
+    uniform per key, so masking first_occ by ~redundant is exact).
     """
     hit, sid, gcount, slot_pos = probe_res
     b, w = hit.shape
@@ -109,7 +118,13 @@ def core_from_probe(
     w_iota = jax.lax.broadcasted_iota(jnp.int32, (b, w), 1)
     r_iota = jax.lax.broadcasted_iota(jnp.int32, (b, r), 1)
 
-    lens = lengths.astype(jnp.int32)
+    # touch every scalar arg so no jit signature ever has pruned params:
+    # this runtime's dispatch fastpath and the compiled executable disagree
+    # about unused-parameter pruning on repeat calls ("Execution supplied N
+    # buffers but compiled program expected N+2"); a zero-anchor keeps all
+    # scalars live at zero cost
+    anchor = (m + p + mrq + mkq + mg) * jnp.int32(0)
+    lens = lengths.astype(jnp.int32) + anchor
     valid = w_iota < (lens - jnp.int32(k - 1))[:, None]
 
     # ---- quality gates (exact integer forms of raw-ord means) ----
@@ -139,15 +154,18 @@ def core_from_probe(
         stored = hit
 
     # ---- first-occurrence dedupe of equal k-mer values in a read ----
-    # equal k-mer values share a unique table slot, so one int32 compare
-    # suffices (misses are -1 but carry stored=False)
-    eq = slot_pos[:, :, None] == slot_pos[:, None, :]
-    prev = (
-        jax.lax.broadcasted_iota(jnp.int32, (w, w), 1)
-        < jax.lax.broadcasted_iota(jnp.int32, (w, w), 0)
-    )  # prev[w, w'] == w' < w
-    dup = jnp.any(eq & stored[:, None, :] & prev[None], axis=2)
-    first_occ = stored & ~dup
+    if pre_first_occ is not None:
+        first_occ = pre_first_occ & stored
+    else:
+        # equal k-mer values share a unique table slot, so one int32
+        # compare suffices (misses are -1 but carry stored=False)
+        eq = slot_pos[:, :, None] == slot_pos[:, None, :]
+        prev = (
+            jax.lax.broadcasted_iota(jnp.int32, (w, w), 1)
+            < jax.lax.broadcasted_iota(jnp.int32, (w, w), 0)
+        )  # prev[w, w'] == w' < w
+        dup = jnp.any(eq & stored[:, None, :] & prev[None], axis=2)
+        first_occ = stored & ~dup
 
     # ---- per-record counts + first-window keys ----
     # reduce over W in set space (one-hot, VPU), then project into record
@@ -283,6 +301,32 @@ def align_batch_core(
     """
     lo, hi = rolling_encode_jnp(codes, k)
     if isinstance(probe_tab, SortedTableDev):
+        import os as _os
+
+        if _os.environ.get("SHOTGUN_TPU_SORT_IMPL", "v2") == "v2":
+            from shotgun_tpu.ops.probe_sort2 import probe_dedupe_sorted
+
+            b, l = codes.shape
+            w = l - k + 1
+            w_iota = jax.lax.broadcasted_iota(jnp.int32, (b, w), 1)
+            lens = lengths.astype(jnp.int32)
+            valid = w_iota < (lens - jnp.int32(k - 1))[:, None]
+            if has_mkq:
+                qsum = window_quality_sums(qual, k)
+                kq_ok = valid & (qsum >= mkq * jnp.int32(k))
+            else:
+                kq_ok = valid
+            hit, sid, gcount, first_occ = probe_dedupe_sorted(
+                probe_tab, lo, hi, kq_ok,
+                num_sets=set_member.shape[0],
+                max_genome_count=set_member.shape[1],
+            )
+            return core_from_probe(
+                (hit, sid, gcount, None), set_member, qual, lengths,
+                m, p, mrq, mkq, mg,
+                k=k, has_mrq=has_mrq, has_mkq=has_mkq, has_mg=has_mg,
+                pre_first_occ=first_occ,
+            )
         probe_res = probe_kmers_sorted(probe_tab, lo, hi)
     else:
         probe_res = probe_kmers(probe_tab.table, probe_tab.stash, lo, hi)

@@ -1,0 +1,172 @@
+"""Sort-merge k-mer probe v2: gather-free lookup + in-sort dedupe.
+
+Replaces ops/probe_sort.py's associative_scan payload fill (which compiles
+an enormous HLO) with plain ``cummax`` carries, and folds the per-read
+first-occurrence dedupe (reference kmer.py:429) into the sorted domain so
+the pipeline's O(W^2) dedupe block disappears.
+
+The probe is one ``lax.sort`` join:
+
+  1. tag-pack table keys (bit 0 = 0) and query keys (bit 0 = 1); queries
+     that failed the MKQ/validity gates get an all-ones sentinel key so
+     they can never match;
+  2. one stable 2-key sort groups equal keys, table row first, queries in
+     original (read, window) order;
+  3. ``cummax`` scans recover, per query, whether its run contains a table
+     row and that row's payload: each table row carries
+     ``(rank << Pb) | payload_chunk`` words -- the cummax over sorted
+     order always selects the latest table row, whose low bits are the
+     payload chunk (rank is monotone in sorted position because the table
+     is pre-sorted by key);
+  4. a query is a within-read duplicate iff its sorted predecessor is a
+     query with the same key from the same read (stable order makes
+     same-read same-key queries consecutive);
+  5. one restore sort by original position brings (hit, set id, genome
+     count, first-occurrence) back to [B, W].
+
+Zero gathers, zero scatters: sorts + cumulative maxima + elementwise only.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from shotgun_tpu.ops.probe_sort import SortedTableDev, sorted_table_host  # noqa: F401 (re-export)
+
+_NEG1 = np.int32(-1)
+
+
+def _bits_for(n: int) -> int:
+    """ceil(log2(max(n, 2))) -- bits to represent values in [0, n)."""
+    return max(int(np.ceil(np.log2(max(int(n), 2)))), 1)
+
+
+def _shift_pack(lo, hi, tag_bit: int):
+    """62-bit key -> order-preserving 64-bit pair with tag in bit 0."""
+    skh = (hi << jnp.uint32(1)) | (lo >> jnp.uint32(31))
+    skl = (lo << jnp.uint32(1)) | jnp.uint32(tag_bit)
+    return skh, skl
+
+
+def probe_dedupe_sorted(
+    tab: SortedTableDev,
+    lo: jnp.ndarray,      # uint32 [B, W]
+    hi: jnp.ndarray,      # uint32 [B, W]
+    query_ok: jnp.ndarray,  # bool [B, W] windows that passed validity + MKQ
+    *,
+    num_sets: int,
+    max_genome_count: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Probe + within-read first-occurrence dedupe in one sorted join.
+
+    Returns (hit, set_id, genome_count, first_occ), all [B, W]:
+    ``hit`` is True iff the window passed ``query_ok`` and its k-mer is in
+    the table; ``first_occ`` marks the first hit window of each distinct
+    k-mer within its read (reference kmer.py:429).  Misses have
+    set_id == -1, genome_count == 0.
+
+    ``num_sets``/``max_genome_count`` bound the payload values (static) so
+    the carry words can be sized; genome counts saturate at 2**16-1 when
+    larger (the count is only compared against mg and == 1).
+    """
+    b, w = lo.shape
+    n = b * w
+    u = int(tab.klo.shape[0])
+    if u == 0:
+        neg = jnp.full((b, w), -1, dtype=jnp.int32)
+        zero = jnp.zeros((b, w), dtype=jnp.int32)
+        false = jnp.zeros((b, w), dtype=bool)
+        return false, neg, zero, false
+    m = u + n
+
+    # ---- payload sizing (static) ----
+    rbits = _bits_for(u)
+    pb = 31 - rbits
+    assert pb >= 1, "table too large for int32 carry words"
+    sid_bits = _bits_for(num_sets)
+    gc_cap = min(int(max_genome_count), (1 << 16) - 1)
+    gc_bits = _bits_for(gc_cap + 1)
+    total_bits = sid_bits + gc_bits
+    n_words = -(-total_bits // pb)
+
+    # ---- build sort operands ----
+    qlo = lo.reshape(-1)
+    qhi = hi.reshape(-1)
+    ok = query_ok.reshape(-1)
+    qkh, qkl = _shift_pack(qlo, qhi, 1)
+    # gated-out queries get the max key (can't match; table keys have tag 0)
+    ones = jnp.uint32(0xFFFFFFFF)
+    qkh = jnp.where(ok, qkh, ones)
+    qkl = jnp.where(ok, qkl, ones)
+    tkh, tkl = _shift_pack(tab.klo, tab.khi, 0)
+
+    ckh = jnp.concatenate([tkh, qkh])
+    ckl = jnp.concatenate([tkl, qkl])
+    val = jnp.concatenate([
+        jnp.arange(n, n + u, dtype=jnp.int32),   # table rows restore last
+        jnp.arange(n, dtype=jnp.int32),
+    ])
+
+    # carry words: (rank << pb) | chunk for table rows, -1 for queries
+    gc_c = jnp.minimum(tab.gc, jnp.int32(gc_cap))
+    payload = tab.sid.astype(jnp.uint32) | (
+        gc_c.astype(jnp.uint32) << jnp.uint32(sid_bits)
+    )
+    rank = jnp.arange(u, dtype=jnp.uint32)
+    words = []
+    mask_pb = jnp.uint32((1 << pb) - 1)
+    for j in range(n_words):
+        chunk = (payload >> jnp.uint32(j * pb)) & mask_pb
+        wj = ((rank << jnp.uint32(pb)) | chunk).astype(jnp.int32)
+        words.append(jnp.concatenate([wj, jnp.full(n, _NEG1, jnp.int32)]))
+
+    ops = jax.lax.sort((ckh, ckl, val, *words), num_keys=2, is_stable=True)
+    skh, skl, val_s = ops[0], ops[1], ops[2]
+    words_s = ops[3:]
+
+    # ---- sorted-domain logic (scans + elementwise) ----
+    iota = jnp.arange(m, dtype=jnp.int32)
+    is_table = (skl & jnp.uint32(1)) == 0
+    prev_same = jnp.concatenate([
+        jnp.zeros(1, dtype=bool),
+        (skh[1:] == skh[:-1]) & ((skl[1:] >> 1) == (skl[:-1] >> 1)),
+    ])
+    lt = jax.lax.cummax(jnp.where(is_table, iota, _NEG1))
+    rs = jax.lax.cummax(jnp.where(~prev_same, iota, jnp.int32(0)))
+    match = (~is_table) & (lt >= rs)
+
+    # payload chunks from the latest table row (exactly the run's row when
+    # match holds: rank is monotone in sorted position)
+    payload_q = jnp.zeros(m, dtype=jnp.uint32)
+    for j in range(n_words):
+        cw = jax.lax.cummax(words_s[j])
+        chunk = cw.astype(jnp.uint32) & mask_pb
+        payload_q = payload_q | (chunk << jnp.uint32(j * pb))
+    sid_q = (payload_q & jnp.uint32((1 << sid_bits) - 1)).astype(jnp.int32)
+    gc_q = (payload_q >> jnp.uint32(sid_bits)).astype(jnp.int32)
+
+    # within-read duplicate: predecessor is a same-key query from the same
+    # read (stable sort keeps same-key queries in read/window order)
+    prev_is_query = jnp.concatenate([
+        jnp.zeros(1, dtype=bool), ~is_table[:-1]])
+    same_read = jnp.concatenate([
+        jnp.zeros(1, dtype=bool),
+        (val_s[1:] // jnp.int32(w)) == (val_s[:-1] // jnp.int32(w)),
+    ])
+    dup = match & prev_same & prev_is_query & same_read
+    first_occ_s = match & ~dup
+
+    # ---- restore original order ----
+    flags = (match.astype(jnp.int32)
+             | (first_occ_s.astype(jnp.int32) << 1))
+    _, sid_r, gc_r, flags_r = jax.lax.sort(
+        (val_s, sid_q, gc_q, flags), num_keys=1, is_stable=True)
+    hit = (flags_r[:n] & 1).astype(bool).reshape(b, w)
+    first_occ = (flags_r[:n] >> 1).astype(bool).reshape(b, w)
+    set_id = jnp.where(hit, sid_r[:n].reshape(b, w), _NEG1)
+    genome_count = jnp.where(hit, gc_r[:n].reshape(b, w), jnp.int32(0))
+    return hit, set_id, genome_count, first_occ
