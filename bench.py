@@ -28,7 +28,7 @@ GENOME_LEN = int(os.environ.get("BENCH_GENOME_LEN", 200_000))
 N_READS = int(os.environ.get("BENCH_READS", 262_144))
 READ_LEN = int(os.environ.get("BENCH_READ_LEN", 150))
 K = int(os.environ.get("BENCH_K", 31))
-BATCH = int(os.environ.get("BENCH_BATCH", 8192))
+BATCH = int(os.environ.get("BENCH_BATCH", 32768))
 SLOTS = int(os.environ.get("BENCH_SLOTS", 0))  # 0 = library default
 
 
