@@ -45,14 +45,14 @@ def rolling_encode(codes: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray, n
         z = np.zeros(0, dtype=_U32)
         return z, z.copy(), np.zeros(0, dtype=bool)
     w = n - k + 1
+    c32 = codes.astype(_U32)  # one conversion, sliced per step
     lo = np.zeros(w, dtype=_U32)
     hi = np.zeros(w, dtype=_U32)
     for j in range(k):
-        c = codes[j: j + w].astype(_U32)
         hi = (hi << _U32(2)) | (lo >> _U32(30))
-        lo = (lo << _U32(2)) | (c & _U32(3))
-    bad = (codes >= constants.BASE_N).astype(np.int64)
-    cs = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(bad)])
+        lo = (lo << _U32(2)) | (c32[j: j + w] & _U32(3))
+    bad = (codes >= constants.BASE_N).astype(np.int32)
+    cs = np.concatenate([np.zeros(1, dtype=np.int32), np.cumsum(bad, dtype=np.int32)])
     valid = (cs[k:] - cs[:-k]) == 0
     return lo, hi, valid
 
@@ -130,12 +130,31 @@ class KmerIndex:
 
 
 def _build_set_table(
-    inverse: np.ndarray, record_of_occ: np.ndarray, num_kmers: int, num_records: int
+    inverse: np.ndarray,
+    record_of_occ: np.ndarray,
+    num_kmers: int,
+    num_records: int,
+    presorted: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Per-k-mer record bitmasks, deduplicated into a set table."""
+    """Per-k-mer record bitmasks, deduplicated into a set table.
+
+    ``presorted``: occurrences are already grouped by kmer id (``inverse``
+    nondecreasing), enabling the reduceat fast path."""
     gbytes = max((num_records + 7) // 8, 1)
     masks = np.zeros((num_kmers, gbytes), dtype=np.uint8)
-    if inverse.size:
+    if inverse.size and presorted and gbytes <= 16:
+        # occurrences arrive grouped by kmer id (the _assemble key sort),
+        # so per-kmer ORs are column-wise reduceat calls -- C-speed,
+        # unlike the scalar ufunc.at loop
+        starts = np.flatnonzero(
+            np.concatenate([[True], inverse[1:] != inverse[:-1]]))
+        byte_s = (record_of_occ >> 3).astype(np.int16)
+        bits_s = np.uint8(1) << (record_of_occ & 7).astype(np.uint8)
+        kid_of_group = inverse[starts]
+        for c in range(gbytes):
+            vals = np.where(byte_s == c, bits_s, np.uint8(0))
+            masks[kid_of_group, c] = np.bitwise_or.reduceat(vals, starts)
+    elif inverse.size:
         np.bitwise_or.at(
             masks,
             (inverse, (record_of_occ >> 3).astype(np.int64)),
@@ -229,9 +248,7 @@ def _assemble(
         new[0] = True
         new[1:] = sk[1:] != sk[:-1]
         num_kmers = int(new.sum())
-        gid_sorted = np.cumsum(new) - 1
-        inverse = np.empty(num_occ, dtype=np.int64)
-        inverse[order] = gid_sorted
+        gid_sorted = np.cumsum(new, dtype=np.int64) - 1
         uniq = sk[new]
         first_seen = order[new].astype(np.int64)
         post_record = all_rec[order]
@@ -254,9 +271,18 @@ def _assemble(
         if num_kmers:
             first_seen = orig_fs[np.searchsorted(orig_keys, uniq)]
 
-    set_id, set_masks, set_sizes = _build_set_table(
-        inverse, all_rec, num_kmers, len(descriptions)
-    )
+    if num_occ:
+        # occurrences are grouped by kmer id in the sorted domain, so the
+        # set table builds with reduceat (set ids are per-kmer either way)
+        set_id, set_masks, set_sizes = _build_set_table(
+            gid_sorted, post_record, num_kmers,
+            len(descriptions), presorted=True,
+        )
+    else:
+        set_id, set_masks, set_sizes = _build_set_table(
+            np.zeros(0, dtype=np.int64), all_rec, num_kmers,
+            len(descriptions),
+        )
 
     return KmerIndex(
         k=k,
