@@ -416,7 +416,12 @@ class PseudoAlignment:
         r = idx.num_records
 
         n = batch.num_reads
-        lpad = max(batch.max_len, k)
+        # bucket the padded read length to a multiple of 32: padded windows
+        # are masked by per-read lengths (output-neutral), and executables
+        # become reusable across read files with nearby max lengths --
+        # with the persistent compilation cache this makes warm CLI runs
+        # skip XLA compilation entirely
+        lpad = ((max(batch.max_len, k) + 31) // 32) * 32
         b = batch_size
         if mesh is not None:
             n_shards = mesh.shape["data"]

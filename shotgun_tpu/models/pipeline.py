@@ -58,6 +58,20 @@ import numpy as _np
 
 BIG = _np.int32(0x3FFFFFFF)
 
+import os as _os
+
+#: sort-merge probe implementation, frozen at first use: the jit cache
+#: does not key on env vars, so a mid-process change must not silently
+#: retarget already-compiled shapes (ADVICE.md round 1)
+_SORT_IMPL = None
+
+
+def _sort_impl() -> str:
+    global _SORT_IMPL
+    if _SORT_IMPL is None:
+        _SORT_IMPL = _os.environ.get("SHOTGUN_TPU_SORT_IMPL", "v2")
+    return _SORT_IMPL
+
 # ReadMappingType codes (device-side): reference kmer.py:41-47
 UNMAPPED, UNIQUELY_MAPPED, AMBIGUOUSLY_MAPPED = 0, 1, 2
 
@@ -301,9 +315,7 @@ def align_batch_core(
     """
     lo, hi = rolling_encode_jnp(codes, k)
     if isinstance(probe_tab, SortedTableDev):
-        import os as _os
-
-        if _os.environ.get("SHOTGUN_TPU_SORT_IMPL", "v2") == "v2":
+        if _sort_impl() == "v2":
             from shotgun_tpu.ops.probe_sort2 import probe_dedupe_sorted
 
             b, l = codes.shape

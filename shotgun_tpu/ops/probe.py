@@ -90,7 +90,6 @@ def resolve_rows(
     flat = bidx.astype(jnp.uint32)[..., None] * jnp.uint32(slots) + slot_iota
     found_pos = jnp.min(jnp.where(match, flat, _EMPTY32), axis=-1)
 
-    n_buckets_times_slots = None
     stash_n = stash.shape[0]
     if stash_n:
         # overflow stash: compare every window against every stash entry

@@ -84,14 +84,19 @@ def probe_dedupe_sorted(
     m = u + n
 
     # ---- payload sizing (static) ----
+    # sid and gc travel as independent chunk streams (each value is
+    # reconstructed into its own uint32), so any (num_sets,
+    # max_genome_count) combination is exact -- a single packed
+    # sid|gc<<sid_bits word would silently truncate past 32 bits
     rbits = _bits_for(u)
     pb = 31 - rbits
     assert pb >= 1, "table too large for int32 carry words"
     sid_bits = _bits_for(num_sets)
     gc_cap = min(int(max_genome_count), (1 << 16) - 1)
     gc_bits = _bits_for(gc_cap + 1)
-    total_bits = sid_bits + gc_bits
-    n_words = -(-total_bits // pb)
+    sid_words = -(-sid_bits // pb)
+    gc_words = -(-gc_bits // pb)
+    n_words = sid_words + gc_words
 
     # ---- build sort operands ----
     qlo = lo.reshape(-1)
@@ -112,15 +117,16 @@ def probe_dedupe_sorted(
     ])
 
     # carry words: (rank << pb) | chunk for table rows, -1 for queries
-    gc_c = jnp.minimum(tab.gc, jnp.int32(gc_cap))
-    payload = tab.sid.astype(jnp.uint32) | (
-        gc_c.astype(jnp.uint32) << jnp.uint32(sid_bits)
-    )
+    gc_c = jnp.minimum(tab.gc, jnp.int32(gc_cap)).astype(jnp.uint32)
+    sid_u = tab.sid.astype(jnp.uint32)
     rank = jnp.arange(u, dtype=jnp.uint32)
     words = []
     mask_pb = jnp.uint32((1 << pb) - 1)
     for j in range(n_words):
-        chunk = (payload >> jnp.uint32(j * pb)) & mask_pb
+        if j < sid_words:
+            chunk = (sid_u >> jnp.uint32(j * pb)) & mask_pb
+        else:
+            chunk = (gc_c >> jnp.uint32((j - sid_words) * pb)) & mask_pb
         wj = ((rank << jnp.uint32(pb)) | chunk).astype(jnp.int32)
         words.append(jnp.concatenate([wj, jnp.full(n, _NEG1, jnp.int32)]))
 
@@ -141,13 +147,17 @@ def probe_dedupe_sorted(
 
     # payload chunks from the latest table row (exactly the run's row when
     # match holds: rank is monotone in sorted position)
-    payload_q = jnp.zeros(m, dtype=jnp.uint32)
+    sid_acc = jnp.zeros(m, dtype=jnp.uint32)
+    gc_acc = jnp.zeros(m, dtype=jnp.uint32)
     for j in range(n_words):
         cw = jax.lax.cummax(words_s[j])
         chunk = cw.astype(jnp.uint32) & mask_pb
-        payload_q = payload_q | (chunk << jnp.uint32(j * pb))
-    sid_q = (payload_q & jnp.uint32((1 << sid_bits) - 1)).astype(jnp.int32)
-    gc_q = (payload_q >> jnp.uint32(sid_bits)).astype(jnp.int32)
+        if j < sid_words:
+            sid_acc = sid_acc | (chunk << jnp.uint32(j * pb))
+        else:
+            gc_acc = gc_acc | (chunk << jnp.uint32((j - sid_words) * pb))
+    sid_q = sid_acc.astype(jnp.int32)
+    gc_q = gc_acc.astype(jnp.int32)
 
     # within-read duplicate: predecessor is a same-key query from the same
     # read (stable sort keeps same-key queries in read/window order)

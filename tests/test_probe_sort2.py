@@ -58,3 +58,33 @@ def test_probe_dedupe_sorted_matches_hash_probe(ng, glen, b, l, k):
     assert np.array_equal(np.asarray(sid2)[stored], np.asarray(sid1)[stored])
     assert np.array_equal(np.asarray(gc2)[stored], np.asarray(gc1)[stored])
     assert np.array_equal(np.asarray(fo2), fo1)
+
+
+def test_wide_payload_no_truncation():
+    """sid_bits + gc_bits > 32 must reconstruct exactly (round-1 advisor
+    finding: a packed sid|gc<<sid_bits uint32 silently truncated gc)."""
+    k = 11
+    rng = np.random.default_rng(7)
+    genomes = synth_genomes(rng, 3, 800)
+    idx = build_index(genomes, k)
+    klo, khi, sid, gc = sorted_table_host(idx)
+    # forge a large gc on every row and declare a huge set/genome space so
+    # sid_bits=20, gc_bits=14 (the advisor's reproduction shape)
+    true_gc = 5000
+    gc = np.full_like(gc, true_gc)
+    tab = SortedTableDev(
+        klo=jnp.asarray(klo), khi=jnp.asarray(khi),
+        sid=jnp.asarray(sid), gc=jnp.asarray(gc))
+    reads = synth_reads(rng, genomes, 8, 40)
+    lo, hi = rolling_encode_jnp(jnp.asarray(reads.codes), k)
+    ok = jnp.ones(lo.shape, dtype=bool)
+    hit, sid_q, gc_q, _ = probe_dedupe_sorted(
+        tab, lo, hi, ok, num_sets=2 ** 20, max_genome_count=8192)
+    hits = np.asarray(hit)
+    assert hits.any()
+    assert (np.asarray(gc_q)[hits] == true_gc).all()
+    tab_keys = klo.astype(np.uint64) | (khi.astype(np.uint64) << np.uint64(32))
+    q_keys = (np.asarray(lo).astype(np.uint64)[hits]
+              | (np.asarray(hi).astype(np.uint64)[hits] << np.uint64(32)))
+    assert np.array_equal(
+        np.asarray(sid_q)[hits], sid[np.searchsorted(tab_keys, q_keys)])
