@@ -125,23 +125,51 @@ def main():
     log(f"aligned {n_batches * BATCH} reads in {align_s:.3f}s")
     log(f"throughput: {reads_per_s:,.0f} reads/s, {probes_per_s / 1e6:,.1f} M probes/s")
 
-    # end-to-end including host->device transfer
+    # end-to-end: raw FASTQ bytes -> native scan -> streamed chunk fill
+    # overlapped with async device dispatch -> folded summary (the actual
+    # CLI dumpalign path, PseudoAlignment.align_stream)
+    from shotgun_tpu.aligner import PseudoAlignment
+    from shotgun_tpu.io import native as _native
+    from shotgun_tpu.utils.synth import to_fastq
+
     t0 = time.perf_counter()
-    e2e = []
-    for i in range(n_batches):
-        sl = slice(i * BATCH, (i + 1) * BATCH)
-        e2e.append(run_batch(
-            jnp.asarray(reads.codes[sl]), jnp.asarray(reads.qual[sl]),
-            jnp.asarray(reads.lengths[sl]), jnp.ones(BATCH, dtype=bool)))
-    jax.block_until_ready(e2e)
+    fq_bytes = to_fastq(reads).encode()
+    log(f"fastq serialize: {time.perf_counter() - t0:.2f}s "
+        f"({len(fq_bytes) / 1e6:.0f} MB)")
+
+    class _MemStream:
+        def __init__(self, data):
+            info = _native.fastq_scan(data)
+            self._data = data
+            self.num_records = info.n_records
+            self.max_len = info.max_len
+
+        def chunks(self, chunk_records, lmax):
+            return _native.fastq_stream_chunks(self._data, chunk_records, lmax)
+
+    t0 = time.perf_counter()
+    alignment = PseudoAlignment(ref)
+    alignment.align_stream(_MemStream(fq_bytes), 1, 1, batch_size=BATCH)
+    summary = alignment.get_summary()
     e2e_s = time.perf_counter() - t0
-    log(f"end-to-end (incl. transfers): {n_batches * BATCH / e2e_s:,.0f} reads/s")
+    e2e_reads_per_s = N_READS / e2e_s
+    n_uniq = summary["Statistics"]["unique_mapped_reads"]
+    log(f"end-to-end stream (parse+align+summary): "
+        f"{e2e_reads_per_s:,.0f} reads/s ({e2e_s:.2f}s, unique={n_uniq})")
 
     print(json.dumps({
         "metric": "pseudo_align_reads_per_sec_k31",
         "value": round(reads_per_s, 1),
         "unit": "reads/s",
         "vs_baseline": round(reads_per_s / BASELINE_READS_PER_SEC, 2),
+        "extra": {
+            "end_to_end_reads_per_sec": round(e2e_reads_per_s, 1),
+            "kmer_probes_per_sec": round(probes_per_s, 1),
+            "db_build_mbp_per_sec": round(total_mbp / build_s, 2),
+            "db_build_vs_baseline": round(total_mbp / build_s / 0.05, 1),
+            "end_to_end_vs_baseline": round(
+                e2e_reads_per_s / BASELINE_READS_PER_SEC, 2),
+        },
     }))
 
 

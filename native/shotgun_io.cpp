@@ -247,6 +247,64 @@ extern "C" int stpu_fastq_fill(const uint8_t* d, int64_t n, uint8_t* codes,
 }
 
 // ---------------------------------------------------------------------------
+// FASTQ streaming fill (chunked): parse/pack overlapped with device compute
+// ---------------------------------------------------------------------------
+//
+// After a successful stpu_fastq_scan (which validates the WHOLE input --
+// duplicate ids, unparsed data, length mismatches -- and sizes the output),
+// the stream API re-walks the input in record chunks so the Python caller
+// can hand each chunk to the accelerator while the next one fills.  Record
+// ids are not materialized (the scan already enforced uniqueness); the
+// caller uses the scan's n_records/max_len for shapes.
+
+struct FastqStream {
+  const uint8_t* d;
+  int64_t n;
+  std::vector<Line> L;
+  size_t i;  // current line index
+};
+
+extern "C" void* stpu_fastq_stream_open(const uint8_t* d, int64_t n) {
+  auto* s = new FastqStream{d, n, {}, 0};
+  if (!split_lines(d, n, &s->L)) {
+    delete s;
+    return nullptr;
+  }
+  return s;
+}
+
+// Fill up to max_records records into row-major [max_records, lmax] buffers.
+// Returns the number of records written (0 at end of input).
+extern "C" int64_t stpu_fastq_stream_next(void* handle, int64_t max_records,
+                                          uint8_t* codes, uint8_t* qual,
+                                          int32_t* lengths, int64_t lmax) {
+  auto* s = (FastqStream*)handle;
+  const uint8_t* d = s->d;
+  int64_t rec = 0;
+  while (rec < max_records && s->i < s->L.size()) {
+    if (fastq_group_ok(d, s->n, s->L, s->i)) {
+      const Line& ls = s->L[s->i + 1];
+      int64_t sl = ls.end - ls.start;
+      lengths[rec] = (int32_t)sl;
+      uint8_t* crow = codes + rec * lmax;
+      for (int64_t j = 0; j < sl; ++j) crow[j] = T.code[d[ls.start + j]];
+      const Line& lq = s->L[s->i + 3];
+      std::memcpy(qual + rec * lmax, d + lq.start,
+                  (size_t)(lq.end - lq.start));
+      ++rec;
+      s->i += 4;
+    } else {
+      ++s->i;
+    }
+  }
+  return rec;
+}
+
+extern "C" void stpu_fastq_stream_close(void* handle) {
+  delete (FastqStream*)handle;
+}
+
+// ---------------------------------------------------------------------------
 // FASTA
 // ---------------------------------------------------------------------------
 

@@ -495,6 +495,78 @@ class PseudoAlignment:
             self._fold_agg(agg, r)
             self._batch_no += 1
 
+    def align_stream(
+        self,
+        stream,
+        m: int = 1,
+        p: int = 1,
+        min_read_quality: Optional[int] = None,
+        min_kmer_quality: Optional[int] = None,
+        max_genomes: Optional[int] = None,
+        batch_size: int = 1024,
+    ) -> None:
+        """Pipeline-parallel alignment from a ``FASTAQStream``.
+
+        The input-pipeline overlap of SURVEY.md §2.2 (PP row): each chunk
+        is filled by the native scanner directly into device-shaped
+        [batch, lpad] arrays while the accelerator runs the previous
+        chunk's (async-dispatched) align program.  Only O(R) aggregation
+        ships back per batch; per-read results are not stored
+        (dumpalign semantics, store_reads=False).
+        """
+        import jax.numpy as jnp
+
+        from shotgun_tpu.models.pipeline import align_batch
+
+        if not isinstance(m, int) or not isinstance(p, int):
+            raise TypeError("m and p must be ints")
+        if m < 0:
+            raise ValueError("m must be bigger than or equal to 0")
+        if min_read_quality is not None:
+            self.filter_read_quality_flag = True
+        if min_kmer_quality is not None:
+            self.filter_kmer_quality_flag = True
+        if max_genomes is not None:
+            self.filter_max_genomes_flag = True
+
+        ref = self.kmer_reference
+        idx = ref.index
+        k = idx.k
+        probe_tab = ref.device_probe_tables()
+        member_dev = jnp.asarray(ref.set_member_dense())
+        r = idx.num_records
+
+        # same length bucketing as align_packed_reads: the native fill
+        # writes rows at this stride, so chunks arrive device-shaped
+        lpad = ((max(stream.max_len, k) + 31) // 32) * 32
+        b = batch_size
+        m_t = jnp.int32(m)
+        p_t = jnp.int32(p)
+        mrq_t = jnp.int32(min_read_quality or 0)
+        mkq_t = jnp.int32(min_kmer_quality or 0)
+        mg_t = jnp.int32(max_genomes or 0)
+
+        pending = []
+        for codes, qual, lengths, got in stream.chunks(b, lpad):
+            row_valid = np.zeros(b, dtype=bool)
+            row_valid[:got] = True
+            _res, agg = align_batch(
+                probe_tab, member_dev,
+                jnp.asarray(codes), jnp.asarray(qual), jnp.asarray(lengths),
+                jnp.asarray(row_valid),
+                m_t, p_t, mrq_t, mkq_t, mg_t,
+                k=k,
+                has_mrq=min_read_quality is not None,
+                has_mkq=min_kmer_quality is not None,
+                has_mg=max_genomes is not None,
+            )
+            del _res  # per-read buffers free after execution; keep O(R) agg
+            pending.append(agg)
+
+        for agg in pending:
+            self._fold_agg(agg, r)
+            self._batch_no += 1
+
     def _fold_agg(self, agg, r: int) -> None:
         self._n_unique += int(agg.n_unique)
         self._n_ambiguous += int(agg.n_ambiguous)

@@ -42,6 +42,7 @@ from shotgun_tpu.io.data_file import (
     FASTAQFile,
     InvalidExtensionError,
     NoRecordsInDataFile,
+    open_fastq_stream,
 )
 from shotgun_tpu.reference import KDBFormatError, KmerReference
 from shotgun_tpu.utils.profiling import PROFILER, maybe_trace, phase
@@ -152,7 +153,35 @@ def create_alignment_from_reference(
     m: int, p: int, min_read_quality: Optional[int],
     min_kmer_quality: Optional[int], max_genomes: Optional[int],
     batch_size: int = DEFAULT_BATCH_SIZE, store_reads: bool = True,
+    mesh=None,
 ) -> PseudoAlignment:
+    if mesh is not None:
+        # device-mesh path (multi-chip and/or multi-process): reads are
+        # the data-parallel axis, counters merge with exact integer
+        # collectives, so the summary equals the single-device result
+        with phase("fastq_parse"):
+            batch = FASTAQFile(reads_file).container.to_read_batch()
+        alignment = PseudoAlignment(kmer_reference)
+        with phase("align", items=batch.num_reads):
+            alignment.align_packed_reads(
+                batch, m, p, min_read_quality, min_kmer_quality,
+                max_genomes, batch_size=batch_size, store_reads=False,
+                mesh=mesh,
+            )
+        return alignment
+    if not store_reads:
+        # dumpalign fast path: stream chunks from the native scanner so
+        # host parse/pack overlaps async device dispatch (PP overlap);
+        # None -> file needs the regex engine (errors or non-ASCII)
+        stream = open_fastq_stream(reads_file)
+        if stream is not None:
+            alignment = PseudoAlignment(kmer_reference)
+            with phase("stream_align", items=stream.num_records):
+                alignment.align_stream(
+                    stream, m, p, min_read_quality, min_kmer_quality,
+                    max_genomes, batch_size=batch_size,
+                )
+            return alignment
     with phase("fastq_parse"):
         reads_container = FASTAQFile(reads_file).container
     alignment = PseudoAlignment(kmer_reference)
@@ -201,11 +230,31 @@ def dump_alignment_file(align_file: str) -> None:
     print(json.dumps(alignment.get_summary(), indent=4))
 
 
+def _print_alignment_summary(alignment: PseudoAlignment, mesh) -> None:
+    """Under a multi-process mesh only host 0 writes the summary (every
+    process computes the identical psum-merged result)."""
+    if mesh is not None:
+        from shotgun_tpu.parallel.distributed import is_primary
+
+        if not is_primary():
+            return
+        # drain C-level stdio first: the CPU backend's Gloo transport
+        # writes banners to the C stdout buffer, which otherwise flushes
+        # at exit interleaved with Python's buffer, splitting the JSON
+        try:
+            import ctypes
+
+            ctypes.CDLL(None).fflush(None)
+        except Exception:
+            pass
+    print(json.dumps(alignment.get_summary(), indent=4), flush=True)
+
+
 def dump_alignment_from_reference(
     reference_file: str, reads_file: str,
     m: int, p: int, min_read_quality: Optional[int],
     min_kmer_quality: Optional[int], max_genomes: Optional[int],
-    batch_size: int = DEFAULT_BATCH_SIZE,
+    batch_size: int = DEFAULT_BATCH_SIZE, mesh=None,
 ) -> None:
     try:
         kmer_reference = KmerReference.load(reference_file)
@@ -214,9 +263,9 @@ def dump_alignment_from_reference(
     alignment = create_alignment_from_reference(
         kmer_reference, reads_file, m, p,
         min_read_quality, min_kmer_quality, max_genomes,
-        batch_size=batch_size, store_reads=False,
+        batch_size=batch_size, store_reads=False, mesh=mesh,
     )
-    print(json.dumps(alignment.get_summary(), indent=4))
+    _print_alignment_summary(alignment, mesh)
 
 
 def build_reference_align_and_dump(
@@ -224,7 +273,7 @@ def build_reference_align_and_dump(
     m: int, p: int, min_read_quality: Optional[int],
     min_kmer_quality: Optional[int], max_genomes: Optional[int],
     filter_similar: bool = False, similarity_threshold: float = 0.95,
-    batch_size: int = DEFAULT_BATCH_SIZE,
+    batch_size: int = DEFAULT_BATCH_SIZE, mesh=None,
 ) -> None:
     kmer_reference = create_reference(
         fasta_file, kmer_size, filter_similar, similarity_threshold
@@ -232,9 +281,9 @@ def build_reference_align_and_dump(
     alignment = create_alignment_from_reference(
         kmer_reference, reads_file, m, p,
         min_read_quality, min_kmer_quality, max_genomes,
-        batch_size=batch_size, store_reads=False,
+        batch_size=batch_size, store_reads=False, mesh=mesh,
     )
-    print(json.dumps(alignment.get_summary(), indent=4))
+    _print_alignment_summary(alignment, mesh)
 
 
 # ---------------------------------------------------------------------------
@@ -333,13 +382,19 @@ def main(argv: Optional[List[str]] = None) -> None:
                     args.max_genomes, batch_size=args.batch_size,
                 )
         elif args.task == "dumpalign":
+            # env-driven mesh wiring (SHOTGUN_TPU_NPROCS / SHOTGUN_TPU_MESH):
+            # multi-chip and multi-host runs shard reads over the 'data'
+            # axis and psum-merge -- output identical to single-device
+            from shotgun_tpu.parallel.distributed import initialize_from_env
+
+            mesh = initialize_from_env()
             if args.referencefile and args.reads:
                 validate_file_readable(args.reads, "FASTQ reads")
                 dump_alignment_from_reference(
                     args.referencefile, args.reads,
                     args.unique_threshold, args.ambiguous_threhold,
                     args.min_read_quality, args.min_kmer_quality,
-                    args.max_genomes, batch_size=args.batch_size,
+                    args.max_genomes, batch_size=args.batch_size, mesh=mesh,
                 )
             elif args.genomefile and args.kmer_size and args.reads:
                 validate_file_readable(args.reads, "FASTQ reads")
@@ -350,6 +405,7 @@ def main(argv: Optional[List[str]] = None) -> None:
                     args.min_read_quality, args.min_kmer_quality,
                     args.max_genomes, args.filter_similar,
                     args.similarity_threshold, batch_size=args.batch_size,
+                    mesh=mesh,
                 )
             elif args.alignfile:
                 validate_file_readable(args.alignfile, "Alignment output")

@@ -115,3 +115,52 @@ class FASTAQFile(DataFile):
         if res is None:
             return None
         return FASTQParser.from_native(*res)
+
+
+class FASTAQStream:
+    """Streaming FASTQ source: validate once, fill record chunks on demand.
+
+    The pipeline-parallel input path (SURVEY.md §2.2 PP row): the native
+    scanner validates the whole file up front (same duplicate-id /
+    unparsed-data / length-mismatch contracts as the full parse), then
+    ``chunks`` fills packed [chunk, lmax] arrays one batch at a time so the
+    caller can overlap host parse/pack with async device dispatch.  Record
+    ids are never materialized as Python strings -- per-record ``.decode``
+    calls are the dominant cost of the full parse at bench scale.
+
+    Use ``open_fastq_stream``; anything the native fast path cannot serve
+    (missing lib, non-ASCII input, any validation failure) returns None so
+    the caller falls back to ``FASTAQFile``, whose regex engine reproduces
+    the reference's exact error types and messages.
+    """
+
+    EXTENSIONS = FASTAQFile.EXTENSIONS
+
+    def __init__(self, file_path: str) -> None:
+        if not any(file_path.endswith(ext) for ext in self.EXTENSIONS):
+            raise InvalidExtensionError(
+                f"Invalid file extension. Expected one of {set(self.EXTENSIONS)}, got {file_path}"
+            )
+        raw = DataFile._read_bytes(file_path)  # gzip.BadGzipFile propagates
+        info = native.fastq_scan(raw)  # NativeParseError propagates
+        if info is None:
+            raise native.NativeParseError(native.STATUS_NON_ASCII, 0, 0)
+        self._raw = raw
+        self.num_records: int = info.n_records
+        self.max_len: int = info.max_len
+
+    def chunks(self, chunk_records: int, lmax: int):
+        """Yield (codes, qual, lengths, n_filled) with row stride ``lmax``
+        (must be >= ``self.max_len``); fresh zeroed arrays per chunk."""
+        return native.fastq_stream_chunks(self._raw, chunk_records, lmax)
+
+
+def open_fastq_stream(file_path: str) -> Optional[FASTAQStream]:
+    """FASTAQStream for the file, or None when the native fast path cannot
+    serve it (the caller should construct FASTAQFile instead -- including
+    for invalid inputs, where the regex engine raises the reference's exact
+    errors).  InvalidExtensionError and gzip.BadGzipFile propagate."""
+    try:
+        return FASTAQStream(file_path)
+    except native.NativeParseError:
+        return None

@@ -60,6 +60,13 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.stpu_fasta_scan.argtypes = [u8p, ctypes.c_int64, i64p]
         lib.stpu_fasta_fill.restype = ctypes.c_int
         lib.stpu_fasta_fill.argtypes = [u8p, ctypes.c_int64, u8p, i64p, i64p, u8p]
+        lib.stpu_fastq_stream_open.restype = ctypes.c_void_p
+        lib.stpu_fastq_stream_open.argtypes = [u8p, ctypes.c_int64]
+        lib.stpu_fastq_stream_next.restype = ctypes.c_int64
+        lib.stpu_fastq_stream_next.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, u8p, u8p, i32p, ctypes.c_int64]
+        lib.stpu_fastq_stream_close.restype = None
+        lib.stpu_fastq_stream_close.argtypes = [ctypes.c_void_p]
         _lib = lib
     except Exception:
         _lib_failed = True
@@ -122,6 +129,70 @@ def fastq_parse(data: bytes):
         for i in range(n_rec)
     ]
     return codes, qual, lengths, ids, space_len
+
+
+class FastqScanInfo:
+    """Sizing/validation result of a whole-file native FASTQ scan."""
+
+    __slots__ = ("n_records", "max_len")
+
+    def __init__(self, n_records: int, max_len: int) -> None:
+        self.n_records = n_records
+        self.max_len = max_len
+
+
+def fastq_scan(data: bytes) -> Optional[FastqScanInfo]:
+    """Validate + size the whole input without filling arrays.
+
+    Enforces the same contracts as the full parse (duplicate ids, unparsed
+    data, seq/quality length mismatch).  Returns None when the native lib
+    is unavailable or the input is non-ASCII (caller falls back to the
+    regex engine)."""
+    lib = _load()
+    if lib is None:
+        return None
+    p, n = _as_u8(data)
+    info = np.zeros(8, dtype=np.int64)
+    status = lib.stpu_fastq_scan(p, n, _ptr(info, ctypes.c_int64))
+    if status == STATUS_NON_ASCII:
+        return None
+    if status != STATUS_OK:
+        raise NativeParseError(status, int(info[3]), int(info[4]))
+    return FastqScanInfo(int(info[0]), max(int(info[1]), 1))
+
+
+def fastq_stream_chunks(data: bytes, chunk_records: int, lmax: int):
+    """Yield (codes [C, lmax] u8, qual [C, lmax] u8, lengths [C] i32,
+    n_filled) chunks of a scanned-valid FASTQ buffer.
+
+    MUST be called only after ``fastq_scan`` returned OK for ``data`` (the
+    stream fill assumes a validated input and performs no error checks).
+    Fresh zeroed arrays are allocated per chunk so padding rows/columns are
+    zero -- required by the device quality gates.  The generator keeps
+    ``data`` alive for the lifetime of the native stream handle.
+    """
+    lib = _load()
+    assert lib is not None, "fastq_stream_chunks requires the native lib"
+    p, n = _as_u8(data)
+    handle = lib.stpu_fastq_stream_open(p, n)
+    assert handle, "stream open failed on scanned-valid input"
+    try:
+        while True:
+            codes = np.zeros((chunk_records, lmax), dtype=np.uint8)
+            qual = np.zeros((chunk_records, lmax), dtype=np.uint8)
+            lengths = np.zeros(chunk_records, dtype=np.int32)
+            got = lib.stpu_fastq_stream_next(
+                handle, chunk_records,
+                _ptr(codes, ctypes.c_uint8), _ptr(qual, ctypes.c_uint8),
+                _ptr(lengths, ctypes.c_int32), lmax,
+            )
+            if got == 0:
+                return
+            yield codes, qual, lengths, int(got)
+            if got < chunk_records:
+                return
+    finally:
+        lib.stpu_fastq_stream_close(handle)
 
 
 def fasta_parse(data: bytes):

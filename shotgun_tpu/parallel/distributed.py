@@ -23,6 +23,7 @@ writes the summary JSON.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence
 
 import jax
@@ -44,6 +45,30 @@ def initialize(
         num_processes=num_processes,
         process_id=process_id,
     )
+
+
+def initialize_from_env() -> Optional[Mesh]:
+    """CLI mesh wiring: build the global data mesh from environment.
+
+    * ``SHOTGUN_TPU_NPROCS`` (with ``SHOTGUN_TPU_PROC_ID`` and optional
+      ``SHOTGUN_TPU_COORDINATOR``, default ``localhost:29400``): multi-
+      process launch -- one CLI process per host, collectives over
+      ICI/DCN (Gloo on CPU), host 0 prints the summary.
+    * ``SHOTGUN_TPU_MESH=data``: single-process mesh over all local
+      devices (multi-chip, one host).
+    * neither set: returns None (plain single-device path).
+    """
+    nprocs = os.environ.get("SHOTGUN_TPU_NPROCS")
+    if nprocs and int(nprocs) > 1:
+        initialize(
+            os.environ.get("SHOTGUN_TPU_COORDINATOR", "localhost:29400"),
+            int(nprocs),
+            int(os.environ["SHOTGUN_TPU_PROC_ID"]),
+        )
+        return global_data_mesh()
+    if os.environ.get("SHOTGUN_TPU_MESH") == "data":
+        return global_data_mesh()
+    return None
 
 
 def global_data_mesh(axis: str = "data") -> Mesh:

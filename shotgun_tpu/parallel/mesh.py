@@ -188,11 +188,29 @@ def _sharded_single(
 
 
 def shard_read_arrays(mesh: Mesh, *arrays):
-    """device_put read-batch arrays with batch-dim sharding."""
+    """Batch-dim-sharded global arrays from (full) host copies.
+
+    Single process: plain device_put.  Multi-process: every process holds
+    the same full batch (global read order); each contributes the
+    contiguous row range its devices own via
+    ``make_array_from_process_local_data`` (process p owns rows
+    [p*B/nproc, (p+1)*B/nproc) because the mesh enumerates devices in
+    process order), so the global array -- and therefore the psum-merged
+    aggregation -- is identical to the single-process result.
+    """
+    nproc = jax.process_count()
+    pid = jax.process_index()
     out = []
     for arr in arrays:
         spec = P("data") if arr.ndim == 1 else P("data", *([None] * (arr.ndim - 1)))
-        out.append(jax.device_put(arr, NamedSharding(mesh, spec)))
+        sh = NamedSharding(mesh, spec)
+        if nproc == 1:
+            out.append(jax.device_put(arr, sh))
+        else:
+            per = arr.shape[0] // nproc
+            local = arr[pid * per: (pid + 1) * per]
+            out.append(jax.make_array_from_process_local_data(
+                sh, local, global_shape=arr.shape))
     return tuple(out)
 
 

@@ -35,6 +35,11 @@ def configure_platform() -> None:
     cache_dir = os.environ.get("SHOTGUN_TPU_CACHE_DIR")
     if cache_dir == "0":
         return
+    # CPU compiles are fast and the CPU AOT cache is brittle across
+    # machine-feature fingerprints; the cache exists to amortize the
+    # ~80s TPU align-pipeline compile across CLI invocations
+    if (plat or os.environ.get("JAX_PLATFORMS", "")).startswith("cpu"):
+        return
     if not cache_dir:
         cache_dir = os.path.join(
             os.path.expanduser("~"), ".cache", "shotgun_tpu", "xla_cache"

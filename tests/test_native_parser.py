@@ -184,3 +184,70 @@ def test_native_throughput_sanity():
     assert len(ids) == 500
     assert (lengths == 100).all()
     assert (codes[:, :100] == reads.codes).all()
+
+
+def test_fastq_stream_chunks_match_full_parse():
+    """Streamed chunk fills must concatenate to the full-parse arrays,
+    including a partial last chunk and a wider row stride."""
+    import numpy as np
+
+    from shotgun_tpu.utils.synth import synth_genomes, synth_reads, to_fastq
+    rng = np.random.default_rng(1)
+    g = synth_genomes(rng, 2, 3000)
+    reads = synth_reads(rng, g, 333, 90)
+    data = to_fastq(reads).encode()
+
+    full = native.fastq_parse(data)
+    assert full is not None
+    f_codes, f_qual, f_lengths, _, _ = full
+
+    info = native.fastq_scan(data)
+    assert info.n_records == 333 and info.max_len == 90
+    lmax = 128  # stride wider than max_len, as the aligner's bucketing uses
+    got_total = 0
+    all_codes, all_qual, all_lengths = [], [], []
+    for codes, qual, lengths, got in native.fastq_stream_chunks(data, 128, lmax):
+        assert codes.shape == (128, lmax)
+        all_codes.append(codes[:got, :90])
+        all_qual.append(qual[:got, :90])
+        all_lengths.append(lengths[:got])
+        # padding beyond each row's length must be zero
+        assert (codes[:got, 90:] == 0).all() and (qual[:got, 90:] == 0).all()
+        got_total += got
+    assert got_total == 333
+    assert (np.concatenate(all_codes) == f_codes).all()
+    assert (np.concatenate(all_qual) == f_qual).all()
+    assert (np.concatenate(all_lengths) == f_lengths).all()
+
+
+def test_streaming_dumpalign_matches_container_path(tmp_path):
+    """align_stream (PP-overlap path) output == align_reads_from_container."""
+    import json
+
+    import numpy as np
+
+    from shotgun_tpu.aligner import PseudoAlignment
+    from shotgun_tpu.index.build import build_index
+    from shotgun_tpu.io.data_file import FASTAQFile, open_fastq_stream
+    from shotgun_tpu.reference import KmerReference
+    from shotgun_tpu.utils.synth import synth_genomes, synth_reads, to_fastq
+
+    rng = np.random.default_rng(5)
+    g = synth_genomes(rng, 3, 2000)
+    reads = synth_reads(rng, g, 200, 60)
+    fq = tmp_path / "reads.fq"
+    fq.write_text(to_fastq(reads))
+    k = 11
+    ref = KmerReference(k, _index=build_index(g, k))
+
+    for filters in ({}, dict(min_read_quality=60, min_kmer_quality=58,
+                             max_genomes=2)):
+        a1 = PseudoAlignment(ref)
+        a1.align_reads_from_container(
+            FASTAQFile(str(fq)).container, 1, 1, store_reads=False,
+            batch_size=64, **filters)
+        a2 = PseudoAlignment(ref)
+        stream = open_fastq_stream(str(fq))
+        assert stream is not None
+        a2.align_stream(stream, 1, 1, batch_size=64, **filters)
+        assert json.dumps(a1.get_summary()) == json.dumps(a2.get_summary())
