@@ -129,6 +129,59 @@ class KmerIndex:
         return decode_kmer(self.kmer_lo[kid], self.kmer_hi[kid], self.k)
 
 
+def _dedupe_sets_by_pairs(
+    inverse: np.ndarray,
+    record_of_occ: np.ndarray,
+    num_kmers: int,
+    num_records: int,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Exact set dedupe from unique (kmer, record) pairs.
+
+    Used when record bitmasks are wide: sorting [num_kmers, R/8] mask rows
+    (np.unique axis=0) is O(num_kmers * R/8 * log) and dominated the
+    G=4096 build.  Here k-mers are bucketed by set cardinality d and each
+    [n_d, d] record matrix is deduped separately -- total work is linear
+    in the number of unique pairs, independent of R."""
+    gbytes = max((num_records + 7) // 8, 1)
+    pairkey = inverse.astype(np.int64) * np.int64(num_records) + \
+        record_of_occ.astype(np.int64)
+    pk = np.unique(pairkey)
+    kid_u = pk // num_records
+    rec_u = (pk % num_records).astype(np.int32)
+    sizes = np.bincount(kid_u, minlength=num_kmers).astype(np.int64)
+    offsets = np.concatenate([[0], np.cumsum(sizes)])
+    set_id = np.zeros(num_kmers, dtype=np.int32)
+    mask_rows: List[np.ndarray] = []
+    size_rows: List[np.ndarray] = []
+    next_sid = 0
+    for d in np.unique(sizes):
+        if d == 0:
+            continue  # every built k-mer has >= 1 occurrence
+        kids = np.flatnonzero(sizes == d)
+        mat = rec_u[offsets[kids][:, None] + np.arange(d)[None, :]]
+        uniq, inv = np.unique(mat, axis=0, return_inverse=True)
+        set_id[kids] = next_sid + inv.astype(np.int32).reshape(-1)
+        rows = np.zeros((uniq.shape[0], gbytes), dtype=np.uint8)
+        np.bitwise_or.at(
+            rows,
+            (
+                np.repeat(np.arange(uniq.shape[0]), d),
+                (uniq >> 3).reshape(-1).astype(np.int64),
+            ),
+            np.uint8(1) << (uniq & 7).reshape(-1).astype(np.uint8),
+        )
+        mask_rows.append(rows)
+        size_rows.append(np.full(uniq.shape[0], d, dtype=np.int32))
+        next_sid += uniq.shape[0]
+    if mask_rows:
+        set_masks = np.concatenate(mask_rows, axis=0)
+        set_sizes = np.concatenate(size_rows)
+    else:
+        set_masks = np.zeros((0, gbytes), dtype=np.uint8)
+        set_sizes = np.zeros(0, dtype=np.int32)
+    return set_id, set_masks, set_sizes
+
+
 def _build_set_table(
     inverse: np.ndarray,
     record_of_occ: np.ndarray,
@@ -141,6 +194,11 @@ def _build_set_table(
     ``presorted``: occurrences are already grouped by kmer id (``inverse``
     nondecreasing), enabling the reduceat fast path."""
     gbytes = max((num_records + 7) // 8, 1)
+    if gbytes > 8:
+        # wide masks: the row-sort dedupe below is superlinear in R;
+        # the pair-bucketed dedupe is exact and R-independent
+        return _dedupe_sets_by_pairs(
+            inverse, record_of_occ, num_kmers, num_records)
     masks = np.zeros((num_kmers, gbytes), dtype=np.uint8)
     if inverse.size and presorted and gbytes <= 16:
         # occurrences arrive grouped by kmer id (the _assemble key sort),

@@ -92,10 +92,11 @@ class BatchResult(NamedTuple):
 #: per-chunk set width for the one-hot count reduction; sets are processed
 #: in chunks of this many so the [B, SET_CHUNK, W] one-hot stays VMEM-sized
 SET_CHUNK = 64
-#: widest set-space handled by the chunked dense path; beyond this the
-#: per-batch one-hot work dominates and the (slower, gather-free at probe
-#: level but gather-using here) fallback takes over
-SET_DENSE_MAX = 1024
+#: up to this many chunks the reduction is unrolled (XLA fuses the whole
+#: thing); past it a lax.scan keeps program size O(1) in S, so set tables
+#: with tens of thousands of distinct genome-sets compile and run without
+#: the round-1 [B, W, R] gather fallback (VERDICT.md round 1, item 4)
+SET_UNROLL_CHUNKS = 16
 
 
 def core_from_probe(
@@ -186,66 +187,100 @@ def core_from_probe(
     # space on the MXU -- no per-window gather.  Sets are processed in
     # SET_CHUNK-wide chunks so the [B, chunk, W] one-hot stays small;
     # layout keeps W in the lane dimension (S is small and would waste
-    # 90%+ of every 128-lane register as the minor dim).
+    # 90%+ of every 128-lane register as the minor dim).  Small tables
+    # unroll the chunk loop (full fusion); large ones run it as a scan so
+    # program size and memory stay O(1) in the number of genome-sets.
     spec_w = first_occ & (gcount == 1)
     s = set_member.shape[0]
-    member_f = set_member.astype(jnp.float32)          # [S, R]
-    member_b = set_member > 0                          # [S, R]
     w_row = w_iota[:, None, :]                         # [B, 1, W]
-    if s <= SET_DENSE_MAX:
-        spec_counts = jnp.zeros((b, r), dtype=jnp.float32)
-        total_counts = jnp.zeros((b, r), dtype=jnp.float32)
-        fw_spec = jnp.full((b, r), BIG, dtype=jnp.int32)
-        fw_total = jnp.full((b, r), BIG, dtype=jnp.int32)
-        for c0 in range(0, s, SET_CHUNK):
-            cs = min(SET_CHUNK, s - c0)
-            s_iota = jax.lax.broadcasted_iota(jnp.int32, (1, cs, 1), 1) + c0
-            onehot_t = sid[:, None, :] == s_iota        # [B, cs, W]
-            spec_oh_t = onehot_t & spec_w[:, None, :]
-            tot_oh_t = onehot_t & first_occ[:, None, :]
-            spec_sc = jnp.sum(spec_oh_t, axis=2, dtype=jnp.float32)  # [B, cs]
-            tot_sc = jnp.sum(tot_oh_t, axis=2, dtype=jnp.float32)
-            mf = member_f[c0: c0 + cs]                  # [cs, R]
-            mb = member_b[c0: c0 + cs]
-            spec_counts = spec_counts + jnp.dot(
-                spec_sc, mf, preferred_element_type=jnp.float32)
-            total_counts = total_counts + jnp.dot(
-                tot_sc, mf, preferred_element_type=jnp.float32)
-            fw_set_spec = jnp.min(
-                jnp.where(spec_oh_t, w_row, BIG), axis=2)   # [B, cs]
-            fw_set_tot = jnp.min(
-                jnp.where(tot_oh_t, w_row, BIG), axis=2)
-            fw_spec = jnp.minimum(fw_spec, jnp.min(
-                jnp.where(mb[None], fw_set_spec[:, :, None], BIG), axis=1
-            ).astype(jnp.int32))
-            fw_total = jnp.minimum(fw_total, jnp.min(
-                jnp.where(mb[None], fw_set_tot[:, :, None], BIG), axis=1
-            ).astype(jnp.int32))
-        spec_counts = spec_counts.astype(jnp.int32)
-        total_counts = total_counts.astype(jnp.int32)
+
+    def _chunk_step(carry, member_c, c0):
+        """Fold one [cs, R] slice of the set table into the accumulators."""
+        spec_counts, total_counts, fw_spec, fw_total = carry
+        cs = member_c.shape[0]
+        mf = member_c.astype(jnp.float32)               # [cs, R]
+        mb = member_c > 0
+        s_iota = jax.lax.broadcasted_iota(jnp.int32, (1, cs, 1), 1) + c0
+        onehot_t = sid[:, None, :] == s_iota            # [B, cs, W]
+        spec_oh_t = onehot_t & spec_w[:, None, :]
+        tot_oh_t = onehot_t & first_occ[:, None, :]
+        spec_sc = jnp.sum(spec_oh_t, axis=2, dtype=jnp.float32)  # [B, cs]
+        tot_sc = jnp.sum(tot_oh_t, axis=2, dtype=jnp.float32)
+        spec_counts = spec_counts + jnp.dot(
+            spec_sc, mf, preferred_element_type=jnp.float32)
+        total_counts = total_counts + jnp.dot(
+            tot_sc, mf, preferred_element_type=jnp.float32)
+        fw_set_spec = jnp.min(
+            jnp.where(spec_oh_t, w_row, BIG), axis=2)   # [B, cs]
+        fw_set_tot = jnp.min(
+            jnp.where(tot_oh_t, w_row, BIG), axis=2)
+        fw_spec = jnp.minimum(fw_spec, jnp.min(
+            jnp.where(mb[None], fw_set_spec[:, :, None], BIG), axis=1
+        ).astype(jnp.int32))
+        fw_total = jnp.minimum(fw_total, jnp.min(
+            jnp.where(mb[None], fw_set_tot[:, :, None], BIG), axis=1
+        ).astype(jnp.int32))
+        return spec_counts, total_counts, fw_spec, fw_total
+
+    carry = (
+        jnp.zeros((b, r), dtype=jnp.float32),
+        jnp.zeros((b, r), dtype=jnp.float32),
+        jnp.full((b, r), BIG, dtype=jnp.int32),
+        jnp.full((b, r), BIG, dtype=jnp.int32),
+    )
+    n_chunks = max((s + SET_CHUNK - 1) // SET_CHUNK, 1)
+    if n_chunks <= SET_UNROLL_CHUNKS:
+        for c0 in range(0, max(s, 1), SET_CHUNK):
+            carry = _chunk_step(
+                carry, set_member[c0: c0 + SET_CHUNK], jnp.int32(c0))
     else:
-        # gather fallback for extremely wide set tables (correct but off
-        # the fast path; real workloads with S this large should use a
-        # sharded table -- SURVEY.md §5.7)
-        w_col = w_iota[:, :, None]
-        mem_idx = jax.lax.optimization_barrier(jnp.where(stored, sid, 0))
-        mem = jnp.take(set_member, mem_idx, axis=0)    # [B, W, R] u8
-        mem_f = mem.astype(jnp.float32)
-        spec_counts = jnp.einsum(
-            "bwr,bw->br", mem_f, spec_w.astype(jnp.float32),
-            preferred_element_type=jnp.float32,
-        ).astype(jnp.int32)
-        total_counts = jnp.einsum(
-            "bwr,bw->br", mem_f, first_occ.astype(jnp.float32),
-            preferred_element_type=jnp.float32,
-        ).astype(jnp.int32)
-        in_set = mem > 0
-        fw_spec = jnp.min(
-            jnp.where(spec_w[:, :, None] & in_set, w_col, BIG), axis=1
-        ).astype(jnp.int32)
-        fw_total = jnp.min(
-            jnp.where(first_occ[:, :, None] & in_set, w_col, BIG), axis=1
-        ).astype(jnp.int32)
+        # Wide set tables: per-window membership gather, scanned over
+        # window chunks.  Work scales as B*W*R (the size of the evidence
+        # matrix) instead of the one-hot path's B*S*R, which loses badly
+        # once S >> W; memory stays at one [B, WIN_CHUNK, R] tile.  The
+        # barrier keeps the gather a standalone kernel instead of letting
+        # XLA fuse it into a slow per-row loop (see module docstring).
+        WIN_CHUNK = 32
+        wp = ((w + WIN_CHUNK - 1) // WIN_CHUNK) * WIN_CHUNK
+        nw = wp // WIN_CHUNK
+
+        def _to_chunks(x, fill):
+            xpad = jnp.pad(x, ((0, 0), (0, wp - w)), constant_values=fill)
+            return jnp.swapaxes(
+                xpad.reshape(b, nw, WIN_CHUNK), 0, 1)  # [nW, B, WC]
+
+        xs = (
+            _to_chunks(jnp.where(stored, sid, 0), 0),
+            _to_chunks(spec_w, False),
+            _to_chunks(first_occ, False),
+            _to_chunks(w_iota, BIG),
+        )
+
+        def _win_body(c, xs_c):
+            spec_counts, total_counts, fw_spec, fw_total = c
+            sid_c, spec_c, tot_c, wi_c = xs_c
+            idx = jax.lax.optimization_barrier(sid_c)
+            mem = jnp.take(set_member, idx, axis=0)     # [B, WC, R] u8
+            mem_f = mem.astype(jnp.float32)
+            spec_counts = spec_counts + jnp.einsum(
+                "bwr,bw->br", mem_f, spec_c.astype(jnp.float32),
+                preferred_element_type=jnp.float32)
+            total_counts = total_counts + jnp.einsum(
+                "bwr,bw->br", mem_f, tot_c.astype(jnp.float32),
+                preferred_element_type=jnp.float32)
+            in_set = mem > 0
+            fw_spec = jnp.minimum(fw_spec, jnp.min(
+                jnp.where(spec_c[:, :, None] & in_set, wi_c[:, :, None], BIG),
+                axis=1).astype(jnp.int32))
+            fw_total = jnp.minimum(fw_total, jnp.min(
+                jnp.where(tot_c[:, :, None] & in_set, wi_c[:, :, None], BIG),
+                axis=1).astype(jnp.int32))
+            return (spec_counts, total_counts, fw_spec, fw_total), None
+
+        carry, _ = jax.lax.scan(_win_body, carry, xs)
+    spec_counts, total_counts, fw_spec, fw_total = carry
+    spec_counts = spec_counts.astype(jnp.int32)
+    total_counts = total_counts.astype(jnp.int32)
 
     # ---- m-decision over specific counts (reference kmer.py:444-462) ----
     has_kmers = jnp.any(first_occ, axis=1)
@@ -397,11 +432,18 @@ def aggregate_batch(res: BatchResult, row_valid: jnp.ndarray) -> AggResult:
         (res.downgraded & is_a)[:, None] & winner_onehot, jnp.int32(-1), key
     )
     key = jnp.where(in_list, key, BIG)
-    # rank via pairwise comparison count: O(R^2) beats two argsorts for the
-    # small, lane-padded [B, R] shapes this runs on
-    rank = jnp.sum(
-        (key[:, None, :] < key[:, :, None]).astype(jnp.int32), axis=2
-    )
+    # rank of each in-list key within its row.  In-list keys are distinct
+    # by construction (they carry r_iota in the low digits), so comparison
+    # count and sorted position agree.  Pairwise count is fastest for the
+    # small lane-padded shapes; past that its [B, R, R] intermediate is
+    # quadratic in the genome count, so wide tables use argsort-of-argsort
+    if r <= 512:
+        rank = jnp.sum(
+            (key[:, None, :] < key[:, :, None]).astype(jnp.int32), axis=2
+        )
+    else:
+        order = jnp.argsort(key, axis=1)
+        rank = jnp.argsort(order, axis=1).astype(jnp.int32)
     enc_key = jnp.where(in_list, row_iota * jnp.int32(r + 2) + rank, BIG)
     first_key = jnp.min(enc_key, axis=0)
 

@@ -1,0 +1,159 @@
+"""Large genome-count classification: the chunk-scan set reduction.
+
+VERDICT.md round 1 item 4: the round-1 pipeline unrolled the set-table
+reduction (compile blow-up past ~1k sets) and fell back to a [B, W, R]
+gather (OOM at thousands of genomes).  These tests build a G=4096-genome
+reference whose set table is wide enough to force the lax.scan path and
+check the device pipeline end-to-end against the independent dict oracle.
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+from oracle_model import align_read, build_db, summarize
+
+from shotgun_tpu.io.packing import pack_reads
+from shotgun_tpu.io.records import SeqRecord
+from shotgun_tpu.aligner import PseudoAlignment
+from shotgun_tpu.reference import KmerReference
+
+K = 31
+G = 4096
+
+
+def _fasta_records(genomes):
+    return [
+        SeqRecord(
+            [("description", d), ("genome", s)])
+        for d, s in genomes
+    ]
+
+
+def _read_records(reads):
+    return [
+        SeqRecord(
+            [
+                ("identifier", f"r{i}"),
+                ("sequence", seq),
+                ("space", ""),
+                ("quality_sequence", qual),
+            ])
+        for i, (seq, qual) in enumerate(reads)
+    ]
+
+
+@pytest.fixture(scope="module")
+def big_corpus():
+    rng = random.Random(4242)
+    bases = "ACGT"
+    # a shared 31-mer between neighbor pairs adds non-singleton sets on
+    # top of the ~G singleton sets, so S > G > 1024 -> scan path
+    shared = "".join(rng.choice(bases) for _ in range(K))
+    genomes = []
+    for g in range(G):
+        seq = "".join(rng.choice(bases) for _ in range(50))
+        if g % 7 == 0:
+            seq = seq[:10] + shared + seq[10 + K:]
+        genomes.append((f"g{g}", seq))
+
+    reads = []
+    n_reads = 8192
+    for i in range(n_reads):
+        kind = i % 4
+        if kind in (0, 1):  # clean substring of one genome -> unique-ish
+            src = genomes[rng.randrange(G)][1]
+            reads.append(src)
+        elif kind == 2:  # chimera of two genome halves -> mixed evidence
+            a = genomes[rng.randrange(G)][1]
+            b = genomes[rng.randrange(G)][1]
+            reads.append(a[:25] + b[25:])
+        else:  # random -> almost surely unmapped
+            reads.append("".join(rng.choice(bases) for _ in range(50)))
+    reads = [(s, "I" * len(s)) for s in reads]
+    return genomes, reads
+
+
+def test_scan_path_matches_oracle_at_4096_genomes(big_corpus):
+    genomes, reads = big_corpus
+    ref = KmerReference(K, _fasta_records(genomes))
+    idx = ref.index
+    assert idx.num_records == G
+    # wide set table: must exceed the unrolled-chunk budget (16 * 64)
+    from shotgun_tpu.models.pipeline import SET_CHUNK, SET_UNROLL_CHUNKS
+
+    assert idx.num_sets > SET_CHUNK * SET_UNROLL_CHUNKS
+
+    aln = PseudoAlignment(ref)
+    aln.align_packed_reads(
+        pack_reads(_read_records(reads)),
+        m=1,
+        p=1,
+        batch_size=1024,
+        store_reads=False,
+    )
+
+    db = build_db(genomes, K)
+    results = []
+    for seq, qual in reads:
+        outcome, glist, _, _ = align_read(db, seq, qual, K, m=1, p=1)
+        results.append((outcome, glist))
+    expected = summarize(genomes, results, (False, False, False), (0, 0, 0))
+
+    got = aln.get_summary()
+    assert got["Statistics"] == expected["Statistics"]
+    assert got["Summary"] == expected["Summary"]
+    # sanity: the corpus actually exercises every outcome class
+    assert expected["Statistics"]["unique_mapped_reads"] > 0
+    assert expected["Statistics"]["ambiguous_mapped_reads"] > 0
+    assert expected["Statistics"]["unmapped_reads"] > 0
+
+
+def test_scan_path_with_filters_matches_oracle(big_corpus):
+    genomes, reads = big_corpus
+    # degrade some qualities so MRQ/MKQ fire, and use MG so the shared
+    # k-mer (~G/7 genomes) trips the redundancy gate.  i%11: all-low ->
+    # MRQ filters the read; i%5: low head, high tail -> read mean passes
+    # MRQ but head windows fail MKQ
+    def qual_of(i, s):
+        if i % 11 == 0:
+            return "5" * len(s)
+        if i % 5 == 0:
+            return "5" * K + "I" * (len(s) - K)
+        return "I" * len(s)
+
+    reads = [(s, qual_of(i, s)) for i, (s, _) in enumerate(reads[:2048])]
+    ref = KmerReference(K, _fasta_records(genomes))
+    aln = PseudoAlignment(ref)
+    aln.align_packed_reads(
+        pack_reads(_read_records(reads)),
+        m=1,
+        p=1,
+        min_read_quality=60,
+        min_kmer_quality=55,
+        max_genomes=4,
+        batch_size=1024,
+        store_reads=False,
+    )
+
+    db = build_db(genomes, K)
+    results, nq, nr, nf = [], 0, 0, 0
+    for seq, qual in reads:
+        outcome, glist, q, r = align_read(
+            db, seq, qual, K, m=1, p=1,
+            min_read_quality=60, min_kmer_quality=55, max_genomes=4,
+        )
+        if outcome == "filtered":
+            nf += 1
+        else:
+            nq += q
+            nr += r
+        results.append((outcome, glist))
+    expected = summarize(genomes, results, (True, True, True), (nf, nq, nr))
+
+    got = aln.get_summary()
+    assert got["Statistics"] == expected["Statistics"]
+    assert got["Summary"] == expected["Summary"]
+    assert expected["Statistics"]["filtered_quality_reads"] > 0
+    assert expected["Statistics"]["filtered_hr_kmers"] > 0
