@@ -87,8 +87,9 @@ def parse_arguments(args: Optional[List[str]] = None) -> argparse.Namespace:
     parser.add_argument("--reads", help="FASTQ reads file")
     parser.add_argument("-m", "--unique-threshold",
                         help="unique k-mer threshold", type=int)
-    # the reference's flag name carries a typo ("threhold"); accept both
-    parser.add_argument("-p", "--ambiguous-threhold", "--ambiguous-threshold",
+    # the reference's long flag name carries a typo ("threhold"); kept
+    # verbatim so the accepted flag surface matches exactly (main.py:70)
+    parser.add_argument("-p", "--ambiguous-threhold",
                         dest="ambiguous_threhold",
                         help="ambiguous k-mer threshold", type=int)
     parser.add_argument("--reverse-complement", action="store_true")

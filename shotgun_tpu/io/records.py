@@ -216,8 +216,14 @@ class SchemaParser:
     def num_records(self) -> int:
         native = getattr(self, "_native", None)
         if native is not None and not self._records:
-            return len(native[2] if len(native) == 3 else native[3])
+            return self._native_num_records()
         return len(self._records)
+
+    def _native_num_records(self) -> int:
+        """Record count from the native-array backing, without
+        materializing SeqRecords.  Subclasses with a ``from_native``
+        constructor must override (the tuple layouts differ)."""
+        raise NotImplementedError
 
 
 # ---------------------------------------------------------------------------
@@ -251,6 +257,9 @@ class FASTAParser(SchemaParser):
         self = cls()
         self._native = (codes, offsets, descriptions)
         return self
+
+    def _native_num_records(self) -> int:
+        return len(self._native[2])  # descriptions
 
     def _ensure_records(self) -> None:
         if self._native is None or self._records:
@@ -327,6 +336,9 @@ class FASTQParser(SchemaParser):
         self = cls()
         self._native = (codes, qual, lengths, ids, space_len)
         return self
+
+    def _native_num_records(self) -> int:
+        return len(self._native[3])  # ids
 
     def _ensure_records(self) -> None:
         if self._native is None or self._records:

@@ -81,6 +81,11 @@ def pad_table_for_sharding(
 def device_put_sharded_table(mesh: Mesh, tab: SortedTableDev) -> SortedTableDev:
     """Place the padded table with its key dim split along 'table' and
     replicated along 'data'."""
+    if not isinstance(tab, SortedTableDev):
+        raise TypeError(
+            "table sharding supports the sort-merge probe only "
+            f"(got {type(tab).__name__})"
+        )
     sh = NamedSharding(mesh, P("table"))
     return SortedTableDev(*(jax.device_put(a, sh) for a in tab))
 
@@ -108,7 +113,19 @@ def align_aggregate_table_sharded(
 
     Output equals the single-device ``aggregate_batch`` exactly, invariant
     to both axis sizes (integer collectives only).
+
+    Only the sort-merge probe supports table sharding: its key-sorted
+    layout makes range partitioning the shard function.  The bucketized
+    hash table would need its bucket space re-hashed per shard; run it
+    replicated via ``parallel.mesh.align_aggregate_sharded`` instead.
     """
+    if not isinstance(tab, SortedTableDev):
+        raise TypeError(
+            "table sharding supports the sort-merge probe only "
+            f"(got {type(tab).__name__}); build the table with "
+            "SHOTGUN_TPU_PROBE=sort, or keep the hash probe replicated "
+            "via parallel.mesh.align_aggregate_sharded"
+        )
     n_data = mesh.shape["data"]
     rows_per_shard = codes.shape[0] // n_data
     r = set_member.shape[1]

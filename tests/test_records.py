@@ -171,3 +171,65 @@ def test_fastq_space_line_dots_allowed():
     p = FASTQParser()
     p.parse_records("@r\nACGT\n+...\nIIII\n")
     assert list(p)[0]["space"] == "..."
+
+
+# --- reference-ported parity tests (VERDICT.md round 1, item 9) -------------
+
+class RefMockParser(SchemaParser):
+    """Mirror of the reference's MockRecordContainer schema
+    (reference test_records.py:104-122)."""
+
+    FIELD_SPECS = (
+        FieldSpec(name="header", header=">", required=True,
+                  legal_chars="AGCT", unique=True),
+        FieldSpec(name="sequence", header="", required=True,
+                  legal_chars="AGCT", strip_chars=r"\s"),
+    )
+
+
+def test_schema_pattern_exact_string():
+    """The derived regex is byte-identical to the reference engine's for
+    the same schema (reference test_records.py:125-134)."""
+    expected = (
+        r"^>((?:[AGCT])+?)"
+        r"\r?\n((?:[AGCT\s])+?)"
+        r"(?=(?=\r?\n>)|(?=(?:\r?\n)?\Z))"
+    )
+    assert RefMockParser().pattern == expected
+
+
+def test_fastq_ten_record_full_alphabet():
+    """10-record FASTQ parse incl. the full 94-char quality alphabet on
+    the regex engine (port of reference test_records.py:272-338)."""
+    # 95 chars spanning the printable PHRED class, incl. backslash + quote
+    # (the reference's raw literal "\"" is two characters)
+    qual94a = (
+        r"`1234567890-=qwertyuiop[]\asdfghjkl;'zxcvbnm,./"
+        r"~!@#$%^&*()_+QWERTYUIOP{}|ASDFGHJKL:\"ZXCVBNM<>?"
+    )
+    seq7 = ("TTTTTTTTTTTTTTTTTGCTGCAGATCGTGGGTTTATGGATGATGTAGTGTAGAGTGAG"
+            "TAGTAGTGATGGATTATGGATTGATTGAGTCAGCCG")
+    seq8 = ("TTTTTTTTTTTTTTTTTTTTAAAAAAAAAAAAAAACCAGGGGGGGGGGGGGGGGGGGGG"
+            "GGGGCCCCCCCCCCCCCCCCCCCCCCCCCCCCCCCCTTTTTTTTTTTTTTTTTTTTTT")
+    entries = [
+        ("Read1", "GGGTGATGGCCGCTGCCGATGGCGTCAAATCCCACCAA", "I" * 38),
+        ("Read2", "ATCGATCGATCGATCGATCGAA", "I" * 22),
+        ("Read3", "GCGCGCGCGCGCGCGCGCGCGG", "I" * 22),
+        ("Read4", "AGCTAGCTAGCTAGCTAGCTTT", "I" * 22),
+        ("Read5", "TTTTTTTTTTTTTTTTTTTTAA", "I" * 22),
+        ("Read6", "AGGGGGGGGGGGGGGGGGGGGG", "I" * 22),
+        ("Read7", seq7, qual94a),
+        ("Read8", seq8, qual94a + "I" * 22),
+        ("Read9", "TTTTTTTTTTTTTTTTTTTTAA", "I" * 22),
+        ("Read10", "TTTTTTTTTTTTTTTTTTTTAA", "I" * 22),
+    ]
+    data = "".join(f"@{i}\n{s}\n+\n{q}\n" for i, s, q in entries)
+    data = data[:-1]  # last record without trailing newline, as in the ref
+    p = FASTQParser()
+    p.parse_records(data)
+    records = list(p)
+    assert len(records) == 10
+    for rec, (rid, seq, qual) in zip(records, entries):
+        assert rec["identifier"] == rid
+        assert rec["sequence"] == seq
+        assert rec["quality_sequence"] == qual
