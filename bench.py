@@ -157,20 +157,96 @@ def main():
     log(f"end-to-end stream (parse+align+summary): "
         f"{e2e_reads_per_s:,.0f} reads/s ({e2e_s:.2f}s, unique={n_uniq})")
 
+    extra = {
+        "end_to_end_reads_per_sec": round(e2e_reads_per_s, 1),
+        "kmer_probes_per_sec": round(probes_per_s, 1),
+        "db_build_mbp_per_sec": round(total_mbp / build_s, 2),
+        "db_build_vs_baseline": round(total_mbp / build_s / 0.05, 1),
+        "end_to_end_vs_baseline": round(
+            e2e_reads_per_s / BASELINE_READS_PER_SEC, 2),
+    }
+
+    # XLA-vs-Pallas A/B of the window kernels on this device (Mosaic
+    # compile on TPU).  Runs LAST: on remote-dispatch runtimes a large
+    # custom kernel can knock the session off its fast dispatch path, so
+    # it must not precede the headline measurement.
+    if os.environ.get("BENCH_PALLAS_AB", "1") == "1":
+        try:
+            extra["pallas_ab"] = _pallas_ab(jax, jnp, staged[0][0],
+                                            staged[0][1])
+        except Exception as exc:  # pragma: no cover - HW/toolchain specific
+            log(f"pallas A/B failed: {type(exc).__name__}: {exc}")
+            extra["pallas_ab"] = {"error": f"{type(exc).__name__}: {exc}"}
+
     print(json.dumps({
         "metric": "pseudo_align_reads_per_sec_k31",
         "value": round(reads_per_s, 1),
         "unit": "reads/s",
         "vs_baseline": round(reads_per_s / BASELINE_READS_PER_SEC, 2),
-        "extra": {
-            "end_to_end_reads_per_sec": round(e2e_reads_per_s, 1),
-            "kmer_probes_per_sec": round(probes_per_s, 1),
-            "db_build_mbp_per_sec": round(total_mbp / build_s, 2),
-            "db_build_vs_baseline": round(total_mbp / build_s / 0.05, 1),
-            "end_to_end_vs_baseline": round(
-                e2e_reads_per_s / BASELINE_READS_PER_SEC, 2),
-        },
+        "extra": extra,
     }))
+
+
+def _pallas_ab(jax, jnp, codes_d, qual_d, iters: int = 20):
+    """Time rolling-encode + window-qsum, XLA lowering vs Pallas kernel,
+    on the bench batch shapes.  Returns ms-per-call for each."""
+    from shotgun_tpu.ops.encode import rolling_encode_jnp, window_quality_sums
+    from shotgun_tpu.ops.pallas.kernels import (
+        rolling_encode_pallas,
+        window_qsums_pallas,
+    )
+
+    interpret = "tpu" not in jax.devices()[0].platform.lower()
+
+    def timed(fn, *args):
+        jfn = jax.jit(fn)
+        jax.block_until_ready(jfn(*args))  # compile
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(iters):
+            out = jfn(*args)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / iters * 1e3
+
+    res = {}
+    res["encode_xla_ms"] = round(
+        timed(lambda c: rolling_encode_jnp(c, K), codes_d), 3)
+    res["encode_pallas_ms"] = round(
+        timed(lambda c: rolling_encode_pallas(c, K, interpret=interpret),
+              codes_d), 3)
+    res["qsum_xla_ms"] = round(
+        timed(lambda q: window_quality_sums(q, K), qual_d), 3)
+    res["qsum_pallas_ms"] = round(
+        timed(lambda q: window_qsums_pallas(q, K, interpret=interpret),
+              qual_d), 3)
+
+    # resolve kernel on a smaller row slice (the [B, W, slots, 4] input is
+    # the big one: 2048 x W x 8 x 4 uint32)
+    from shotgun_tpu.ops.pallas.kernels import resolve_rows_pallas
+    from shotgun_tpu.ops.probe import resolve_rows
+
+    rb = min(2048, codes_d.shape[0])
+    w = codes_d.shape[1] - K + 1
+    rng = np.random.default_rng(5)
+    rows = jnp.asarray(rng.integers(
+        0, 2**32, size=(rb, w, 8, 4), dtype=np.uint32))
+    bidx = jnp.asarray(rng.integers(0, 1 << 16, size=(rb, w), dtype=np.int32))
+    lo = jnp.asarray(rng.integers(0, 2**32, size=(rb, w), dtype=np.uint32))
+    hi = jnp.asarray(rng.integers(0, 2**32, size=(rb, w), dtype=np.uint32))
+    stash0 = jnp.zeros((0, 4), jnp.uint32)
+    res["resolve_xla_ms"] = round(
+        timed(lambda r, b_, l_, h_: resolve_rows(r, b_, stash0, l_, h_),
+              rows, bidx, lo, hi), 3)
+    res["resolve_pallas_ms"] = round(
+        timed(lambda r, b_, l_, h_: resolve_rows_pallas(
+            r, b_, l_, h_, interpret=interpret), rows, bidx, lo, hi), 3)
+    res["interpret"] = interpret
+    log(f"pallas A/B (ms/call, B={codes_d.shape[0]}): "
+        f"encode xla={res['encode_xla_ms']} pallas={res['encode_pallas_ms']}"
+        f" | qsum xla={res['qsum_xla_ms']} pallas={res['qsum_pallas_ms']}"
+        f" | resolve xla={res['resolve_xla_ms']} "
+        f"pallas={res['resolve_pallas_ms']}")
+    return res
 
 
 if __name__ == "__main__":

@@ -9,10 +9,32 @@ bit-for-bit, so both call these functions with their array module.
 
 from __future__ import annotations
 
+import os
 from typing import Tuple
 
 import jax.numpy as jnp
 import numpy as np
+
+#: SHOTGUN_TPU_PALLAS=1 routes the hot window ops (rolling encode, window
+#: quality sums, bucket-row resolve) through the Pallas kernels in
+#: ops/pallas/kernels.py instead of the XLA lowerings.  Frozen at first
+#: use: jit caches do not key on env vars, so a mid-process change must
+#: not silently retarget already-compiled shapes (ADVICE.md round 1).
+_PALLAS_ENABLED = None
+
+
+def pallas_enabled() -> bool:
+    global _PALLAS_ENABLED
+    if _PALLAS_ENABLED is None:
+        _PALLAS_ENABLED = os.environ.get("SHOTGUN_TPU_PALLAS", "0") == "1"
+    return _PALLAS_ENABLED
+
+
+def pallas_interpret() -> bool:
+    """Interpret mode off-TPU so the dispatch path is testable on CPU."""
+    import jax
+
+    return "tpu" not in jax.devices()[0].platform.lower()
 
 # splitmix64-derived odd constants
 _C1 = 0x85EBCA6B
@@ -42,6 +64,10 @@ def rolling_encode_jnp(codes: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.nda
     b, l = codes.shape
     w = l - k + 1
     assert w >= 1, "batch length must be >= k"
+    if pallas_enabled():
+        from shotgun_tpu.ops.pallas.kernels import rolling_encode_pallas
+
+        return rolling_encode_pallas(codes, k, interpret=pallas_interpret())
     lo = jnp.zeros((b, w), dtype=jnp.uint32)
     hi = jnp.zeros((b, w), dtype=jnp.uint32)
     for j in range(k):
@@ -60,6 +86,10 @@ def window_quality_sums(qual: jnp.ndarray, k: int) -> jnp.ndarray:
     algebraically identical for integer thresholds)."""
     b, l = qual.shape
     w = l - k + 1
+    if pallas_enabled():
+        from shotgun_tpu.ops.pallas.kernels import window_qsums_pallas
+
+        return window_qsums_pallas(qual, k, interpret=pallas_interpret())
     cs = jnp.cumsum(qual.astype(jnp.int32), axis=1)
     zeros = jnp.zeros((b, 1), dtype=jnp.int32)
     cs = jnp.concatenate([zeros, cs], axis=1)  # [B, L+1]

@@ -10,15 +10,19 @@ the jnp reference implementations in interpret mode (tests/test_pallas.py):
 * ``window_qsums_pallas``    -- masked quality reduction: raw-ord window
   sums for the MKQ gate (reference kmer.py:401-408 as integer sums);
 * ``resolve_rows_pallas``    -- bucket resolve: pre-gathered rows
-  [B, W, slots, 4] vs (lo, hi) -> (hit, set id, genome count), the slot
-  loop unrolled to where/minimum chains (ops/probe.py:resolve_rows).
+  [B, W, slots, 4] vs (lo, hi) -> raw (set id, genome count, slot pos),
+  the slot loop unrolled to where/minimum chains; the stash merge and
+  miss-masking stay in the XLA caller (ops/probe.py:resolve_rows).
 
-The XLA lowerings of the same ops stay the production default: on the
-current remote-dispatch runtime, loading large custom kernels can knock
-the session off its fast dispatch path (tests/tools/bench_poison.py), and
-XLA's fusions of these stages are already bandwidth-bound.  The kernels
-are selectable with SHOTGUN_TPU_PALLAS=1 for hardware where the tradeoff
-differs.
+Dispatch: ``SHOTGUN_TPU_PALLAS=1`` routes all three call sites
+(ops/encode.py:rolling_encode_jnp / window_quality_sums and
+ops/probe.py:resolve_rows) through these kernels -- compiled via Mosaic
+on TPU, interpret mode elsewhere so the switch is testable on CPU.  The
+flag is frozen at first use (see ops/encode.py:pallas_enabled).  The XLA
+lowerings stay the production default: bench.py's A/B section measures
+both per run, and on the current remote-dispatch runtime loading large
+custom kernels can knock the session off its fast dispatch path
+(tests/tools/bench_poison.py).
 """
 
 from __future__ import annotations
@@ -109,13 +113,15 @@ def window_qsums_pallas(
 # bucket-row resolve (compare pre-gathered rows against window keys)
 # ---------------------------------------------------------------------------
 
-def _resolve_kernel(rows_ref, lo_ref, hi_ref, hit_ref, sid_ref, gc_ref,
-                    *, slots: int):
+def _resolve_kernel(rows_ref, bidx_ref, lo_ref, hi_ref,
+                    sid_ref, gc_ref, pos_ref, *, slots: int):
     lo = lo_ref[:, :]
     hi = hi_ref[:, :]
+    bidx = bidx_ref[:, :].astype(jnp.uint32)
     empty = jnp.uint32(_EMPTY32)
     sid = jnp.full(lo.shape, empty, dtype=jnp.uint32)
     gc = jnp.zeros(lo.shape, dtype=jnp.uint32)
+    pos = jnp.full(lo.shape, empty, dtype=jnp.uint32)
     for s in range(slots):
         k0 = rows_ref[:, :, s, 0]
         k1 = rows_ref[:, :, s, 1]
@@ -127,27 +133,36 @@ def _resolve_kernel(rows_ref, lo_ref, hi_ref, hit_ref, sid_ref, gc_ref,
         # only matters for malformed tables and tests)
         sid = jnp.minimum(sid, jnp.where(m, v0, empty))
         gc = jnp.maximum(gc, jnp.where(m, v1, jnp.uint32(0)))
-    hit = sid != empty
-    hit_ref[:, :] = hit
-    sid_ref[:, :] = jnp.where(hit, sid, jnp.uint32(0)).astype(jnp.int32)
-    gc_ref[:, :] = gc.astype(jnp.int32)
+        pos = jnp.minimum(
+            pos,
+            jnp.where(m, bidx * jnp.uint32(slots) + jnp.uint32(s), empty),
+        )
+    sid_ref[:, :] = sid
+    gc_ref[:, :] = gc
+    pos_ref[:, :] = pos
 
 
 def resolve_rows_pallas(
     rows: jnp.ndarray,   # uint32 [B, W, slots, 4]
+    bidx: jnp.ndarray,   # int32  [B, W] bucket indices (for slot_pos)
     lo: jnp.ndarray,     # uint32 [B, W]
     hi: jnp.ndarray,     # uint32 [B, W]
     *,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """(hit [B,W] bool, set_id [B,W] int32 (0 on miss), gc [B,W] int32)."""
+    """Raw table resolve: (sid, gc, slot_pos) uint32 [B, W] triples with
+    EMPTY sentinels on miss -- the same contract as the XLA table half of
+    ``ops.probe.resolve_rows``, which layers the stash merge and final
+    miss-masking on top of either implementation."""
     b, w, slots, _ = rows.shape
     bs = _block_rows(b, target=64)
+    out = jax.ShapeDtypeStruct((b, w), jnp.uint32)
     return pl.pallas_call(
         functools.partial(_resolve_kernel, slots=slots),
         grid=(b // bs,),
         in_specs=[
             pl.BlockSpec((bs, w, slots, 4), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((bs, w), lambda i: (i, 0)),
             pl.BlockSpec((bs, w), lambda i: (i, 0)),
             pl.BlockSpec((bs, w), lambda i: (i, 0)),
         ],
@@ -156,10 +171,6 @@ def resolve_rows_pallas(
             pl.BlockSpec((bs, w), lambda i: (i, 0)),
             pl.BlockSpec((bs, w), lambda i: (i, 0)),
         ),
-        out_shape=(
-            jax.ShapeDtypeStruct((b, w), jnp.bool_),
-            jax.ShapeDtypeStruct((b, w), jnp.int32),
-            jax.ShapeDtypeStruct((b, w), jnp.int32),
-        ),
+        out_shape=(out, out, out),
         interpret=interpret,
-    )(rows, lo, hi)
+    )(rows, bidx, lo, hi)

@@ -78,17 +78,26 @@ def resolve_rows(
     one int32 instead of the (lo, hi) pair.  Misses have set_id == -1,
     genome_count == 0, slot_pos == -1.
     """
-    slots = rows.shape[2]
-    match = (
-        (rows[..., 0] == lo[..., None])
-        & (rows[..., 1] == hi[..., None])
-        & (rows[..., 2] != _EMPTY32)
-    )
-    found_sid = jnp.min(jnp.where(match, rows[..., 2], _EMPTY32), axis=-1)
-    found_gc = jnp.max(jnp.where(match, rows[..., 3], jnp.uint32(0)), axis=-1)
-    slot_iota = jax.lax.broadcasted_iota(jnp.uint32, (1, 1, slots), 2)
-    flat = bidx.astype(jnp.uint32)[..., None] * jnp.uint32(slots) + slot_iota
-    found_pos = jnp.min(jnp.where(match, flat, _EMPTY32), axis=-1)
+    from shotgun_tpu.ops.encode import pallas_enabled, pallas_interpret
+
+    if pallas_enabled():
+        from shotgun_tpu.ops.pallas.kernels import resolve_rows_pallas
+
+        found_sid, found_gc, found_pos = resolve_rows_pallas(
+            rows, bidx, lo, hi, interpret=pallas_interpret()
+        )
+    else:
+        slots = rows.shape[2]
+        match = (
+            (rows[..., 0] == lo[..., None])
+            & (rows[..., 1] == hi[..., None])
+            & (rows[..., 2] != _EMPTY32)
+        )
+        found_sid = jnp.min(jnp.where(match, rows[..., 2], _EMPTY32), axis=-1)
+        found_gc = jnp.max(jnp.where(match, rows[..., 3], jnp.uint32(0)), axis=-1)
+        slot_iota = jax.lax.broadcasted_iota(jnp.uint32, (1, 1, slots), 2)
+        flat = bidx.astype(jnp.uint32)[..., None] * jnp.uint32(slots) + slot_iota
+        found_pos = jnp.min(jnp.where(match, flat, _EMPTY32), axis=-1)
 
     stash_n = stash.shape[0]
     if stash_n:

@@ -39,6 +39,7 @@ def test_resolve_rows_matches(slots):
     b, w = 16, 30
     lo = jnp.asarray(rng.integers(0, 8, size=(b, w), dtype=np.uint32))
     hi = jnp.asarray(rng.integers(0, 2, size=(b, w), dtype=np.uint32))
+    bidx = jnp.asarray(rng.integers(0, 64, size=(b, w), dtype=np.int32))
     rows = jnp.asarray(
         rng.integers(0, 8, size=(b, w, slots, 4), dtype=np.uint32))
     # plant some exact matches and some empty slots
@@ -46,11 +47,71 @@ def test_resolve_rows_matches(slots):
     rows = rows.at[:, ::3, 0, 1].set(hi[:, ::3])
     rows = rows.at[:, ::5, :, 2].set(np.uint32(0xFFFFFFFF))
 
-    hit_p, sid_p, gc_p = resolve_rows_pallas(rows, lo, hi, interpret=True)
-    bidx = jnp.zeros((b, w), dtype=jnp.int32)
-    hit_r, sid_r, gc_r, _ = resolve_rows(
+    sid_p, gc_p, pos_p = resolve_rows_pallas(rows, bidx, lo, hi,
+                                             interpret=True)
+    hit_r, sid_r, gc_r, pos_r = resolve_rows(
         rows, bidx, jnp.zeros((0, 4), jnp.uint32), lo, hi)
-    np.testing.assert_array_equal(np.asarray(hit_p), np.asarray(hit_r))
-    hp = np.asarray(hit_p)
+    hp = np.asarray(sid_p) != np.uint32(0xFFFFFFFF)
+    np.testing.assert_array_equal(hp, np.asarray(hit_r))
     np.testing.assert_array_equal(np.asarray(sid_p)[hp], np.asarray(sid_r)[hp])
     np.testing.assert_array_equal(np.asarray(gc_p)[hp], np.asarray(gc_r)[hp])
+    np.testing.assert_array_equal(
+        np.asarray(pos_p)[hp].astype(np.int32), np.asarray(pos_r)[hp])
+
+
+def test_pallas_dispatch_switch_end_to_end(monkeypatch):
+    """SHOTGUN_TPU_PALLAS=1 actually routes the pipeline's window ops
+    through the kernels (interpret mode on CPU) and produces the same
+    AggResult as the XLA lowerings (VERDICT r1 item 5: the switch must
+    exist in code, not just in a docstring)."""
+    import shotgun_tpu.ops.encode as encode_mod
+    from shotgun_tpu.io.packing import pack_reads
+    from shotgun_tpu.io.records import SeqRecord
+    from shotgun_tpu.models.pipeline import align_batch
+    from shotgun_tpu.reference import KmerReference
+
+    rng = np.random.default_rng(12)
+    bases = np.array(list("ACGT"))
+    genome = "".join(rng.choice(bases, size=400))
+    ref = KmerReference(
+        11, [SeqRecord([("description", "g"), ("genome", genome)])])
+    reads = []
+    for i in range(8):
+        s = int(rng.integers(0, 360))
+        reads.append(SeqRecord([
+            ("identifier", f"r{i}"), ("sequence", genome[s: s + 40]),
+            ("space", ""), ("quality_sequence", "I" * 40)]))
+    batch = pack_reads(reads)
+    member = jnp.asarray(ref.set_member_dense())
+
+    def run(tab):
+        _, agg = align_batch(
+            tab, member,
+            jnp.asarray(batch.codes), jnp.asarray(batch.qual),
+            jnp.asarray(batch.lengths), jnp.ones(8, bool),
+            jnp.int32(1), jnp.int32(1), jnp.int32(0), jnp.int32(60),
+            jnp.int32(4),
+            k=11, has_mrq=False, has_mkq=True, has_mg=True,
+            with_aggregate=True)
+        return agg
+
+    agg_xla = run(ref.device_probe_tables("hash"))
+    agg_xla = type(agg_xla)(*(np.asarray(x) for x in agg_xla))
+    assert not encode_mod.pallas_enabled()  # frozen off for the suite
+
+    monkeypatch.setattr(encode_mod, "_PALLAS_ENABLED", True)
+    assert encode_mod.pallas_enabled()
+    import jax
+
+    # the flag is read at trace time; identical shapes would otherwise
+    # hit the jit cache and silently reuse the XLA executable
+    jax.clear_caches()
+    agg_pal = run(ref.device_probe_tables("hash"))
+    agg_pal = type(agg_pal)(*(np.asarray(x) for x in agg_pal))
+    monkeypatch.setattr(encode_mod, "_PALLAS_ENABLED", False)
+    jax.clear_caches()
+
+    for field in agg_xla._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(agg_xla, field)),
+            np.asarray(getattr(agg_pal, field)), err_msg=field)
