@@ -5,23 +5,27 @@ Workload mirrors BASELINE.md: 5 genomes x 200 kbp (1 Mbp), k=31,
 error-free 150 bp reads, no filters.  The reference's measured CPU
 baseline on this exact workload is ~4,900 reads/s (BASELINE.md).
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "reads/s", "vs_baseline": N}
-Secondary metrics (probe rate, DB build, end-to-end incl. transfers) go to
-stderr.
+Prints ONE JSON line (the LAST line of stdout):
+  {"metric": ..., "value": N, "unit": "reads/s", "vs_baseline": N, "extra": {...}}
+
+Optional risky sections (Pallas A/B kernel compile, cold/warm CLI compile
+probe) run in SUBPROCESSES with captured output, so a kernel-toolchain
+failure can neither crash this process nor interleave garbage with the
+headline line (round 2 lost its number to an in-process Mosaic error).
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
+import tempfile
 import time
 
 import numpy as np
 
 BASELINE_READS_PER_SEC = 4900.0
-
-import os
 
 N_GENOMES = int(os.environ.get("BENCH_GENOMES", 5))
 GENOME_LEN = int(os.environ.get("BENCH_GENOME_LEN", 200_000))
@@ -63,8 +67,7 @@ def main():
 
     t0 = time.perf_counter()
     ref = KmerReference(K, _index=idx)
-    import os as _os
-    method = _os.environ.get("SHOTGUN_TPU_PROBE", "sort")
+    method = os.environ.get("SHOTGUN_TPU_PROBE", "sort")
     if SLOTS and method == "hash":
         from shotgun_tpu.ops.probe import HashTableDev
         pt = build_probe_table(idx.kmer_lo, idx.kmer_hi, idx.set_id,
@@ -75,7 +78,7 @@ def main():
             f"{pt.table.nbytes / 1e6:.1f} MB")
     else:
         probe_tab = ref.device_probe_tables(method)
-        nbytes = sum(np.asarray(a).nbytes for a in probe_tab)
+        nbytes = sum(np.asarray(a).nbytes for a in jax.tree.leaves(probe_tab))
         log(f"probe tables ({method}): {nbytes / 1e6:.1f} MB")
     member = ref.set_member_dense()
     log(f"probe prep: {time.perf_counter() - t0:.2f}s")
@@ -111,7 +114,8 @@ def main():
     t0 = time.perf_counter()
     agg = run_batch(*staged[0])
     jax.block_until_ready(agg)
-    log(f"compile+first batch: {time.perf_counter() - t0:.2f}s")
+    compile_s = time.perf_counter() - t0
+    log(f"compile+first batch: {compile_s:.2f}s")
     log(f"sanity: unique={int(agg.n_unique)} amb={int(agg.n_ambiguous)} "
         f"unmapped={int(agg.n_unmapped)} of {BATCH}")
 
@@ -164,39 +168,130 @@ def main():
         "db_build_vs_baseline": round(total_mbp / build_s / 0.05, 1),
         "end_to_end_vs_baseline": round(
             e2e_reads_per_s / BASELINE_READS_PER_SEC, 2),
+        "compile_first_batch_s": round(compile_s, 2),
     }
 
-    # XLA-vs-Pallas A/B of the window kernels on this device (Mosaic
-    # compile on TPU).  Runs LAST: on remote-dispatch runtimes a large
-    # custom kernel can knock the session off its fast dispatch path, so
-    # it must not precede the headline measurement.
-    if os.environ.get("BENCH_PALLAS_AB", "1") == "1":
-        try:
-            extra["pallas_ab"] = _pallas_ab(jax, jnp, staged[0][0],
-                                            staged[0][1])
-        except Exception as exc:  # pragma: no cover - HW/toolchain specific
-            log(f"pallas A/B failed: {type(exc).__name__}: {exc}")
-            extra["pallas_ab"] = {"error": f"{type(exc).__name__}: {exc}"}
+    # Optional risky sections -- each runs in a SUBPROCESS with captured
+    # output so a kernel/toolchain failure cannot corrupt this process or
+    # the headline line.
+    if os.environ.get("BENCH_PALLAS_AB", "0") == "1":
+        extra["pallas_ab"] = _run_sub("pallas_ab", timeout=900)
+    if os.environ.get("BENCH_WARM", "1") == "1":
+        extra["warm_compile"] = _warm_compile_probe()
 
+    # THE headline line: last line of stdout, flushed immediately.
     print(json.dumps({
         "metric": "pseudo_align_reads_per_sec_k31",
         "value": round(reads_per_s, 1),
         "unit": "reads/s",
         "vs_baseline": round(reads_per_s / BASELINE_READS_PER_SEC, 2),
         "extra": extra,
-    }))
+    }), flush=True)
 
 
-def _pallas_ab(jax, jnp, codes_d, qual_d, iters: int = 20):
-    """Time rolling-encode + window-qsum, XLA lowering vs Pallas kernel,
-    on the bench batch shapes.  Returns ms-per-call for each."""
-    from shotgun_tpu.ops.encode import rolling_encode_jnp, window_quality_sums
+def _run_sub(mode: str, timeout: int, env_extra=None):
+    """Run `python bench.py` in BENCH_MODE=<mode> as an isolated child;
+    return its one-line JSON result or an error record."""
+    env = dict(os.environ)
+    env["BENCH_MODE"] = mode
+    env.update(env_extra or {})
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            capture_output=True, text=True, timeout=timeout, env=env,
+        )
+    except subprocess.TimeoutExpired:
+        log(f"[{mode}] timed out after {timeout}s")
+        return {"error": f"timeout after {timeout}s"}
+    tail = (out.stderr or "")[-2000:]
+    if out.returncode != 0:
+        log(f"[{mode}] child failed rc={out.returncode}; stderr tail:\n{tail}")
+        return {"error": f"rc={out.returncode}", "stderr_tail": tail[-500:]}
+    line = (out.stdout or "").strip().splitlines()
+    try:
+        return json.loads(line[-1])
+    except Exception as exc:
+        log(f"[{mode}] unparseable child output: {exc}; stderr tail:\n{tail}")
+        return {"error": f"unparseable output: {exc}"}
+
+
+def _warm_compile_probe():
+    """Cold vs warm CLI dumpalign wall-clock with a fresh persistent
+    compile cache: the warm run should skip XLA compilation entirely.
+
+    Runs the real CLI (main.py -t dumpalign -g ... -k ... --reads ...) as
+    subprocesses on a small corpus; the only difference between the two
+    runs is the now-populated cache directory.
+    """
+    from shotgun_tpu.utils.synth import synth_genomes, synth_reads, to_fasta, to_fastq
+
+    rng = np.random.default_rng(7)
+    genomes = synth_genomes(rng, 3, 30_000)
+    reads = synth_reads(rng, genomes, 4096, READ_LEN)
+    repo = os.path.dirname(os.path.abspath(__file__))
+    result = {}
+    with tempfile.TemporaryDirectory() as td:
+        fa = os.path.join(td, "warm.fa")
+        fq = os.path.join(td, "warm.fq")
+        open(fa, "w").write(to_fasta(genomes))
+        open(fq, "w").write(to_fastq(reads))
+        env = dict(os.environ)
+        env["SHOTGUN_TPU_CACHE_DIR"] = os.path.join(td, "xla_cache")
+        cmd = [sys.executable, os.path.join(repo, "main.py"),
+               "-t", "dumpalign", "-g", fa, "-k", str(K), "--reads", fq]
+        outs = []
+        for label in ("cold", "warm"):
+            t0 = time.perf_counter()
+            try:
+                out = subprocess.run(cmd, capture_output=True, text=True,
+                                     timeout=900, env=env)
+            except subprocess.TimeoutExpired:
+                result[f"{label}_s"] = None
+                result["error"] = f"{label} run timed out"
+                return result
+            dt = time.perf_counter() - t0
+            result[f"{label}_s"] = round(dt, 2)
+            if out.returncode != 0:
+                result["error"] = (f"{label} rc={out.returncode}: "
+                                   f"{(out.stderr or '')[-300:]}")
+                return result
+            outs.append(out.stdout)
+            log(f"warm-compile probe: {label} CLI dumpalign {dt:.2f}s")
+        result["output_identical"] = outs[0] == outs[1]
+    return result
+
+
+def _pallas_ab_main():
+    """Child process: XLA-vs-Pallas A/B of the window kernels on this
+    device (real Mosaic compile on TPU).  Prints ONE JSON line."""
+    from shotgun_tpu.utils.platform import configure_platform
+
+    configure_platform()
+
+    import jax
+    import jax.numpy as jnp
+
+    import shotgun_tpu.ops.encode as enc
+    from shotgun_tpu.index.hashtable import SLOTS as TAB_SLOTS
     from shotgun_tpu.ops.pallas.kernels import (
+        resolve_rows_pallas,
         rolling_encode_pallas,
         window_qsums_pallas,
     )
+    from shotgun_tpu.ops.probe import resolve_rows
+    from shotgun_tpu.utils.synth import synth_genomes, synth_reads
 
     interpret = "tpu" not in jax.devices()[0].platform.lower()
+    # pin the dispatch off so the XLA legs measure the XLA lowering even
+    # if SHOTGUN_TPU_PALLAS=1 leaked into this process (ADVICE.md r2 #1)
+    enc._PALLAS_ENABLED = False
+    iters = 20
+
+    rng = np.random.default_rng(0)
+    genomes = synth_genomes(rng, 2, 20_000)
+    reads = synth_reads(rng, genomes, BATCH, READ_LEN)
+    codes_d = jnp.asarray(reads.codes)
+    qual_d = jnp.asarray(reads.qual)
 
     def timed(fn, *args):
         jfn = jax.jit(fn)
@@ -208,28 +303,26 @@ def _pallas_ab(jax, jnp, codes_d, qual_d, iters: int = 20):
         jax.block_until_ready(out)
         return (time.perf_counter() - t0) / iters * 1e3
 
-    res = {}
+    res = {"interpret": interpret, "pallas_dispatch_enabled": enc.pallas_enabled()}
     res["encode_xla_ms"] = round(
-        timed(lambda c: rolling_encode_jnp(c, K), codes_d), 3)
+        timed(lambda c: enc.rolling_encode_jnp(c, K), codes_d), 3)
     res["encode_pallas_ms"] = round(
         timed(lambda c: rolling_encode_pallas(c, K, interpret=interpret),
               codes_d), 3)
     res["qsum_xla_ms"] = round(
-        timed(lambda q: window_quality_sums(q, K), qual_d), 3)
+        timed(lambda q: enc.window_quality_sums(q, K), qual_d), 3)
     res["qsum_pallas_ms"] = round(
         timed(lambda q: window_qsums_pallas(q, K, interpret=interpret),
               qual_d), 3)
 
-    # resolve kernel on a smaller row slice (the [B, W, slots, 4] input is
-    # the big one: 2048 x W x 8 x 4 uint32)
-    from shotgun_tpu.ops.pallas.kernels import resolve_rows_pallas
-    from shotgun_tpu.ops.probe import resolve_rows
-
-    rb = min(2048, codes_d.shape[0])
+    # resolve kernel on a smaller row slice; slot width matches the real
+    # table default (ADVICE.md r2 #2)
+    slots = SLOTS or TAB_SLOTS
+    rb = min(2048, BATCH)
     w = codes_d.shape[1] - K + 1
     rng = np.random.default_rng(5)
     rows = jnp.asarray(rng.integers(
-        0, 2**32, size=(rb, w, 8, 4), dtype=np.uint32))
+        0, 2**32, size=(rb, w, slots, 4), dtype=np.uint32))
     bidx = jnp.asarray(rng.integers(0, 1 << 16, size=(rb, w), dtype=np.int32))
     lo = jnp.asarray(rng.integers(0, 2**32, size=(rb, w), dtype=np.uint32))
     hi = jnp.asarray(rng.integers(0, 2**32, size=(rb, w), dtype=np.uint32))
@@ -240,14 +333,17 @@ def _pallas_ab(jax, jnp, codes_d, qual_d, iters: int = 20):
     res["resolve_pallas_ms"] = round(
         timed(lambda r, b_, l_, h_: resolve_rows_pallas(
             r, b_, l_, h_, interpret=interpret), rows, bidx, lo, hi), 3)
-    res["interpret"] = interpret
-    log(f"pallas A/B (ms/call, B={codes_d.shape[0]}): "
+    log(f"pallas A/B (ms/call, B={BATCH}, slots={slots}): "
         f"encode xla={res['encode_xla_ms']} pallas={res['encode_pallas_ms']}"
         f" | qsum xla={res['qsum_xla_ms']} pallas={res['qsum_pallas_ms']}"
         f" | resolve xla={res['resolve_xla_ms']} "
         f"pallas={res['resolve_pallas_ms']}")
-    return res
+    print(json.dumps(res), flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    mode = os.environ.get("BENCH_MODE", "")
+    if mode == "pallas_ab":
+        _pallas_ab_main()
+    else:
+        main()
