@@ -23,7 +23,7 @@ from typing import Any, Dict, Iterable, List, Optional, Sequence
 
 import numpy as np
 
-from shotgun_tpu.index.build import pack_key64, rolling_encode
+from shotgun_tpu.index.build import rolling_encode_words, sort_keys_from_words
 from shotgun_tpu.io.packing import ReadBatch, encode_bases, pack_reads
 from shotgun_tpu.io.records import SeqRecord
 from shotgun_tpu.reference import KDBFormatError, KmerReference
@@ -144,9 +144,9 @@ class Read:
         idx = kmer_reference.index
         k = idx.k
         codes = encode_bases(self._seq)
-        lo, hi, _ = rolling_encode(codes, k)
-        keys = pack_key64(lo, hi)
-        table_keys = pack_key64(idx.kmer_lo, idx.kmer_hi)
+        words, _ = rolling_encode_words(codes, k)
+        keys = sort_keys_from_words(words)
+        table_keys = idx.sort_keys()
         if keys.size and table_keys.size:
             pos = np.searchsorted(table_keys, keys)
             clamped = np.minimum(pos, table_keys.size - 1)

@@ -53,6 +53,10 @@ DEFAULT_SIMILARITY_THRESHOLD = 0.95
 IGNORE_AMBIGUOUS_THRESHOLD = 0
 M_THRESHOLD = 0
 
-# Maximum supported k: a k-mer must fit in 2k bits <= 62 so that it packs
-# into a (hi, lo) uint32 pair with room for an "empty slot" sentinel.
-MAX_K = 31
+# Maximum k the 2-word (lo, hi) fast paths -- notably the bucketized hash
+# probe -- support.  The index itself packs keys into ceil(k/16) uint32
+# words, so ANY k works end-to-end via the sort-merge probe (matching the
+# reference's plain-string keys, kmer.py:84-94, and its RUN_LOG k=75/150
+# demos); this constant only gates the 2-word structures.
+MAX_K_2WORD = 31
+MAX_K = MAX_K_2WORD  # back-compat alias

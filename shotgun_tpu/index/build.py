@@ -3,8 +3,13 @@
 
 Layout
 ------
-Distinct k-mers are 2-bit packed into a (hi, lo) uint32 pair (k <= 31) and
-identified by their rank in sorted key order ("kmer id").  Alongside:
+Distinct k-mers are 2-bit packed into ``nw = max(2, ceil(k/16))`` uint32
+words (little-word order: column j holds bits [32j, 32j+32) of the packed
+value) and identified by their rank in sorted key order ("kmer id").  Any
+k is supported, matching the reference's plain-string keys (reference
+kmer.py:84-94; its RUN_LOG demos k=75 and k=150).  For k <= 31 the two
+words are exactly the historical (lo, hi) pair, so the uint64 fast paths
+and the bucketized hash probe keep working unchanged.  Alongside:
 
 * ``first_seen`` -- global scan index of each k-mer's first occurrence.
   This reconstructs the reference's dict-insertion order for dumpref
@@ -34,40 +39,89 @@ _U32 = np.uint32
 _U64 = np.uint64
 
 
-def rolling_encode(codes: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """All k-windows of a code array -> (lo, hi) uint32 pairs + validity.
+def num_key_words(k: int) -> int:
+    """uint32 words per packed k-mer key: max(2, ceil(k/16)).
 
-    Window i covers codes[i:i+k]; invalid when it contains an N.  Returns
-    empty arrays when k <= 0 or k > len(codes) (reference kmer.py:91-92).
+    Minimum 2 keeps the k <= 31 layout identical to the historical
+    (lo, hi) pair (word 1 is zero for k <= 16)."""
+    return max(2, -(-int(k) // 16))
+
+
+def _pack_span(c32: np.ndarray, start: int, span: int, w: int) -> np.ndarray:
+    """2-bit pack of ``span`` consecutive bases starting at offset
+    ``start`` of each of the ``w`` windows (vectorized over windows)."""
+    acc = np.zeros(w, dtype=_U32)
+    for s in range(span):
+        acc = (acc << _U32(2)) | c32[start + s: start + s + w]
+    return acc
+
+
+def rolling_encode_words(codes: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+    """All k-windows of a code array -> ([W, nw] uint32 key words, validity).
+
+    Window i covers codes[i:i+k]; invalid when it contains an N.  Word j
+    (little-word order) holds bases t in [k-16(j+1), k-16j) of the window,
+    so every word is a contiguous 16-base (top word: k mod 16) pack --
+    total work is O(k) shift passes over W-length arrays, independent of
+    the word count.  Empty when k <= 0 or k > len(codes)
+    (reference kmer.py:91-92).
     """
     n = codes.size
+    nw = num_key_words(max(k, 1))
     if k <= 0 or k > n:
-        z = np.zeros(0, dtype=_U32)
-        return z, z.copy(), np.zeros(0, dtype=bool)
+        return np.zeros((0, nw), dtype=_U32), np.zeros(0, dtype=bool)
     w = n - k + 1
-    c32 = codes.astype(_U32)  # one conversion, sliced per step
-    lo = np.zeros(w, dtype=_U32)
-    hi = np.zeros(w, dtype=_U32)
-    for j in range(k):
-        hi = (hi << _U32(2)) | (lo >> _U32(30))
-        lo = (lo << _U32(2)) | (c32[j: j + w] & _U32(3))
+    c32 = codes.astype(_U32) & _U32(3)
+    words = np.zeros((w, nw), dtype=_U32)
+    for j in range(nw):
+        t_hi = k - 16 * j
+        if t_hi <= 0:
+            break  # zero-padded word (k <= 16 with the 2-word minimum)
+        t_lo = max(t_hi - 16, 0)
+        words[:, j] = _pack_span(c32, t_lo, t_hi - t_lo, w)
     bad = (codes >= constants.BASE_N).astype(np.int32)
     cs = np.concatenate([np.zeros(1, dtype=np.int32), np.cumsum(bad, dtype=np.int32)])
     valid = (cs[k:] - cs[:-k]) == 0
-    return lo, hi, valid
+    return words, valid
+
+
+def rolling_encode(codes: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Back-compat (lo, hi) form of ``rolling_encode_words`` -- k <= 31 only."""
+    assert k <= 31, "rolling_encode is the 2-word fast form; use rolling_encode_words"
+    words, valid = rolling_encode_words(codes, k)
+    return words[:, 0].copy(), words[:, 1].copy(), valid
 
 
 def pack_key64(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
     return (hi.astype(_U64) << _U64(32)) | lo.astype(_U64)
 
 
-def decode_kmer(lo: int, hi: int, k: int) -> str:
-    """(lo, hi) pair back to the k-mer string (for dumpref output)."""
-    val = (int(hi) << 32) | int(lo)
+def sort_keys_from_words(words: np.ndarray) -> np.ndarray:
+    """[N, nw] key words -> one sortable key per row.
+
+    nw == 2: the packed uint64 (fast path).  Wider: big-endian fixed-width
+    byte strings, whose bytewise (numpy 'S') order equals numeric order --
+    argsort/searchsorted/!= all work on them directly."""
+    if words.shape[1] <= 2:
+        return pack_key64(words[:, 0], words[:, 1])
+    be = np.ascontiguousarray(words[:, ::-1].astype(">u4"))
+    return be.view(f"S{4 * words.shape[1]}").reshape(-1)
+
+
+def decode_kmer_words(words_row: np.ndarray, k: int) -> str:
+    """One key-word row back to the k-mer string (for dumpref output)."""
+    val = 0
+    for j in range(words_row.size - 1, -1, -1):
+        val = (val << 32) | int(words_row[j])
     out = []
     for j in range(k):
         out.append("ACGT"[(val >> (2 * (k - 1 - j))) & 3])
     return "".join(out)
+
+
+def decode_kmer(lo: int, hi: int, k: int) -> str:
+    """(lo, hi) pair back to the k-mer string -- k <= 31 back-compat form."""
+    return decode_kmer_words(np.asarray([lo, hi], dtype=_U64), k)
 
 
 @dataclass
@@ -79,9 +133,8 @@ class KmerIndex:
     descriptions: List[str]
     record_lengths: np.ndarray          # int64 [R]
     kept: np.ndarray                    # bool  [R] (EXTSIM filtering)
-    # distinct k-mers (sorted key order)
-    kmer_lo: np.ndarray                 # uint32 [U]
-    kmer_hi: np.ndarray                 # uint32 [U]
+    # distinct k-mers (sorted key order); little-word columns, nw >= 2
+    kmer_words: np.ndarray              # uint32 [U, nw]
     first_seen: np.ndarray              # int64  [U] original global scan index
     # CSR postings by kmer id, scan order inside each k-mer
     post_offsets: np.ndarray            # int64 [U+1]
@@ -94,8 +147,21 @@ class KmerIndex:
     similarity_info: Optional[Dict[str, Dict[str, object]]] = None
 
     @property
+    def kmer_lo(self) -> np.ndarray:
+        """Low key words -- with ``kmer_hi`` the full key iff k <= 31."""
+        return self.kmer_words[:, 0]
+
+    @property
+    def kmer_hi(self) -> np.ndarray:
+        return self.kmer_words[:, 1]
+
+    def sort_keys(self) -> np.ndarray:
+        """Sortable per-k-mer keys (uint64 or byte strings), sorted order."""
+        return sort_keys_from_words(self.kmer_words)
+
+    @property
     def num_kmers(self) -> int:
-        return int(self.kmer_lo.size)
+        return int(self.kmer_words.shape[0])
 
     @property
     def num_records(self) -> int:
@@ -126,7 +192,7 @@ class KmerIndex:
         return self.post_pos[sl][mask]
 
     def kmer_string(self, kid: int) -> str:
-        return decode_kmer(self.kmer_lo[kid], self.kmer_hi[kid], self.k)
+        return decode_kmer_words(self.kmer_words[kid], self.k)
 
 
 def _dedupe_sets_by_pairs(
@@ -248,38 +314,35 @@ def build_index(
     (k-1)-base halo so window extraction is embarrassingly parallel and
     peak memory stays bounded (SURVEY.md §5.7: the sequence-parallel
     analog for genome streams)."""
-    occ_lo: List[np.ndarray] = []
-    occ_hi: List[np.ndarray] = []
+    occ_words: List[np.ndarray] = []
     occ_rec: List[np.ndarray] = []
     occ_pos: List[np.ndarray] = []
     record_lengths = np.diff(genomes.offsets)
+    nw = num_key_words(k)
     for r in range(genomes.num_records):
         codes = genomes.record_codes(r)
         for chunk_start in range(0, max(codes.size, 1), chunk_bases):
             chunk = codes[chunk_start: chunk_start + chunk_bases + k - 1]
-            lo, hi, valid = rolling_encode(chunk, k)
-            if lo.size == 0:
+            words, valid = rolling_encode_words(chunk, k)
+            if words.shape[0] == 0:
                 continue
             idx = np.nonzero(valid)[0]
-            occ_lo.append(lo[idx])
-            occ_hi.append(hi[idx])
+            occ_words.append(words[idx])
             occ_rec.append(np.full(idx.size, r, dtype=np.int32))
             occ_pos.append(idx.astype(np.int64) + chunk_start)
 
-    if occ_lo:
-        all_lo = np.concatenate(occ_lo)
-        all_hi = np.concatenate(occ_hi)
+    if occ_words:
+        all_words = np.concatenate(occ_words, axis=0)
         all_rec = np.concatenate(occ_rec)
         all_pos = np.concatenate(occ_pos)
     else:
-        all_lo = np.zeros(0, dtype=_U32)
-        all_hi = np.zeros(0, dtype=_U32)
+        all_words = np.zeros((0, nw), dtype=_U32)
         all_rec = np.zeros(0, dtype=np.int32)
         all_pos = np.zeros(0, dtype=np.int64)
 
     return _assemble(
         k, genomes.descriptions, record_lengths,
-        all_lo, all_hi, all_rec, all_pos,
+        all_words, all_rec, all_pos,
         original_first_seen=None,
     )
 
@@ -288,14 +351,14 @@ def _assemble(
     k: int,
     descriptions: List[str],
     record_lengths: np.ndarray,
-    all_lo: np.ndarray,
-    all_hi: np.ndarray,
+    all_words: np.ndarray,
     all_rec: np.ndarray,
     all_pos: np.ndarray,
     original_first_seen: Optional[Tuple[np.ndarray, np.ndarray]] = None,
 ) -> KmerIndex:
-    keys = pack_key64(all_lo, all_hi)
+    keys = sort_keys_from_words(all_words)
     num_occ = keys.size
+    nw = all_words.shape[1]
     if num_occ:
         # one stable argsort yields everything: unique keys, inverse map,
         # CSR postings in scan order, and first-seen indices (the stable
@@ -307,16 +370,16 @@ def _assemble(
         new[1:] = sk[1:] != sk[:-1]
         num_kmers = int(new.sum())
         gid_sorted = np.cumsum(new, dtype=np.int64) - 1
-        uniq = sk[new]
-        first_seen = order[new].astype(np.int64)
+        uniq_rows = order[new]
+        uniq_words = all_words[uniq_rows]
+        first_seen = uniq_rows.astype(np.int64)
         post_record = all_rec[order]
         post_pos = all_pos[order]
         group_starts = np.flatnonzero(new)
         post_offsets = np.concatenate(
             [group_starts, [num_occ]]).astype(np.int64)
     else:
-        uniq = np.zeros(0, dtype=_U64)
-        inverse = np.zeros(0, dtype=np.int64)
+        uniq_words = np.zeros((0, nw), dtype=_U32)
         num_kmers = 0
         first_seen = np.zeros(0, dtype=np.int64)
         post_record = all_rec
@@ -327,7 +390,8 @@ def _assemble(
         # carry over first-seen ranks from the pre-filter index
         orig_keys, orig_fs = original_first_seen
         if num_kmers:
-            first_seen = orig_fs[np.searchsorted(orig_keys, uniq)]
+            first_seen = orig_fs[
+                np.searchsorted(orig_keys, sk[new])]
 
     if num_occ:
         # occurrences are grouped by kmer id in the sorted domain, so the
@@ -347,8 +411,7 @@ def _assemble(
         descriptions=descriptions,
         record_lengths=np.asarray(record_lengths, dtype=np.int64),
         kept=np.ones(len(descriptions), dtype=bool),
-        kmer_lo=(uniq & _U64(0xFFFFFFFF)).astype(_U32),
-        kmer_hi=(uniq >> _U64(32)).astype(_U32),
+        kmer_words=np.ascontiguousarray(uniq_words),
         first_seen=first_seen,
         post_offsets=post_offsets,
         post_record=post_record,
@@ -375,15 +438,12 @@ def filter_records(index: KmerIndex, kept_record_ids: np.ndarray) -> KmerIndex:
     kmer_of_occ = kmer_of_occ[occ_keep]
     rec = index.post_record[occ_keep]
     pos = index.post_pos[occ_keep]
-    lo = index.kmer_lo[kmer_of_occ]
-    hi = index.kmer_hi[kmer_of_occ]
+    words = index.kmer_words[kmer_of_occ]
 
     out = _assemble(
         index.k, index.descriptions, index.record_lengths,
-        lo, hi, rec, pos,
-        original_first_seen=(
-            pack_key64(index.kmer_lo, index.kmer_hi), index.first_seen
-        ),
+        words, rec, pos,
+        original_first_seen=(index.sort_keys(), index.first_seen),
     )
     out.kept = kept_mask
     out.similarity_info = index.similarity_info

@@ -45,14 +45,22 @@ from shotgun_tpu.utils.platform import configure_platform
 
 configure_platform()
 
-from shotgun_tpu.ops.encode import rolling_encode_jnp, window_quality_sums
+from shotgun_tpu.ops.encode import (
+    rolling_encode_jnp,
+    rolling_encode_words_jnp,
+    window_quality_sums,
+)
 from shotgun_tpu.ops.probe import (
     HashTableDev,
     hash_probe_gather,
     probe_kmers,
     resolve_rows,
 )
-from shotgun_tpu.ops.probe_sort import SortedTableDev, probe_kmers_sorted
+from shotgun_tpu.ops.probe_sort import (
+    SortedTableDev,
+    SortedTableDevW,
+    probe_kmers_sorted,
+)
 
 import numpy as _np
 
@@ -324,6 +332,19 @@ def core_from_probe(
     )
 
 
+def _window_ok(qual, lengths, k: int, mkq, has_mkq: bool) -> jnp.ndarray:
+    """[B, W] mask of windows inside the read that pass the MKQ gate."""
+    b, l = qual.shape
+    w = l - k + 1
+    w_iota = jax.lax.broadcasted_iota(jnp.int32, (b, w), 1)
+    lens = lengths.astype(jnp.int32)
+    valid = w_iota < (lens - jnp.int32(k - 1))[:, None]
+    if has_mkq:
+        qsum = window_quality_sums(qual, k)
+        return valid & (qsum >= mkq * jnp.int32(k))
+    return valid
+
+
 def align_batch_core(
     probe_tab,                # HashTableDev or SortedTableDev
     set_member: jnp.ndarray,  # uint8  [S, R]
@@ -348,21 +369,29 @@ def align_batch_core(
     table on TPU prefer ``align_batch`` which splits the gather into its
     own dispatch.
     """
+    if isinstance(probe_tab, SortedTableDevW):
+        # multi-word keys (any k): gather-free sorted join with a tag word
+        from shotgun_tpu.ops.probe_sort2 import probe_dedupe_sorted_words
+
+        qws = rolling_encode_words_jnp(codes, k)
+        kq_ok = _window_ok(qual, lengths, k, mkq, has_mkq)
+        hit, sid, gcount, first_occ = probe_dedupe_sorted_words(
+            probe_tab, qws, kq_ok,
+            num_sets=set_member.shape[0],
+            max_genome_count=set_member.shape[1],
+        )
+        return core_from_probe(
+            (hit, sid, gcount, None), set_member, qual, lengths,
+            m, p, mrq, mkq, mg,
+            k=k, has_mrq=has_mrq, has_mkq=has_mkq, has_mg=has_mg,
+            pre_first_occ=first_occ,
+        )
     lo, hi = rolling_encode_jnp(codes, k)
     if isinstance(probe_tab, SortedTableDev):
         if _sort_impl() == "v2":
             from shotgun_tpu.ops.probe_sort2 import probe_dedupe_sorted
 
-            b, l = codes.shape
-            w = l - k + 1
-            w_iota = jax.lax.broadcasted_iota(jnp.int32, (b, w), 1)
-            lens = lengths.astype(jnp.int32)
-            valid = w_iota < (lens - jnp.int32(k - 1))[:, None]
-            if has_mkq:
-                qsum = window_quality_sums(qual, k)
-                kq_ok = valid & (qsum >= mkq * jnp.int32(k))
-            else:
-                kq_ok = valid
+            kq_ok = _window_ok(qual, lengths, k, mkq, has_mkq)
             hit, sid, gcount, first_occ = probe_dedupe_sorted(
                 probe_tab, lo, hi, kq_ok,
                 num_sets=set_member.shape[0],

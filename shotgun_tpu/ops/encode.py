@@ -77,6 +77,43 @@ def rolling_encode_jnp(codes: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.nda
     return lo, hi
 
 
+def rolling_encode_words_jnp(codes: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, ...]:
+    """[B, L] uint8 base codes -> tuple of [B, W] uint32 key words,
+    MOST-significant first (ready to use as ``lax.sort`` key operands).
+
+    Any k.  Bit layout matches the host ``index.build.rolling_encode_words``
+    exactly (little-word column j there == tuple element nw-1-j here).
+    For k <= 31 this is (hi, lo) from the tuned 2-word encoder.  For
+    larger k each word is a contiguous 16-base (top word: k mod 16) pack:
+    one shared pass builds the 16-base pack array and full words are
+    slices of it, so the work is O(16 + k mod 16) shift steps, not O(k*nw).
+    """
+    if k <= 31:
+        lo, hi = rolling_encode_jnp(codes, k)
+        return (hi, lo)
+    b, l = codes.shape
+    w = l - k + 1
+    assert w >= 1, "batch length must be >= k"
+    nw = max(2, -(-k // 16))
+    c32 = codes.astype(jnp.uint32) & jnp.uint32(3)
+    npk = l - 15
+    p16 = jnp.zeros((b, npk), dtype=jnp.uint32)
+    for s in range(16):
+        p16 = (p16 << jnp.uint32(2)) | c32[:, s: s + npk]
+    out = []
+    for j in range(nw):  # little-word index: bases t in [k-16(j+1), k-16j)
+        t_hi = k - 16 * j
+        t_lo = max(t_hi - 16, 0)
+        if t_hi - t_lo == 16:
+            wj = p16[:, t_lo: t_lo + w]
+        else:
+            wj = jnp.zeros((b, w), dtype=jnp.uint32)
+            for s in range(t_hi - t_lo):
+                wj = (wj << jnp.uint32(2)) | c32[:, t_lo + s: t_lo + s + w]
+        out.append(wj)
+    return tuple(out[::-1])
+
+
 def window_quality_sums(qual: jnp.ndarray, k: int) -> jnp.ndarray:
     """[B, L] uint8 raw quality bytes -> [B, W] int32 window sums.
 

@@ -29,12 +29,38 @@ import numpy as np
 
 
 class SortedTableDev(NamedTuple):
-    """Device arrays of the key-sorted k-mer index."""
+    """Device arrays of the key-sorted k-mer index (k <= 31 2-word form)."""
 
     klo: jnp.ndarray   # uint32 [U] key low words, sorted by (hi, lo)
     khi: jnp.ndarray   # uint32 [U] key high words
     sid: jnp.ndarray   # int32  [U] genome-set ids
     gc: jnp.ndarray    # int32  [U] genome counts
+
+
+class SortedTableDevW(NamedTuple):
+    """Multi-word form for any k: key words MOST-significant first, each
+    [U] uint32, rows sorted by the full lexicographic key (identical to
+    the host index's sorted order).  ``gc == 0`` marks pad rows (range-
+    partitioning pads; impossible for real entries)."""
+
+    kws: Tuple[jnp.ndarray, ...]
+    sid: jnp.ndarray   # int32 [U]
+    gc: jnp.ndarray    # int32 [U]
+
+
+def sorted_table_host_words(index):
+    """Host arrays for SortedTableDevW from a KmerIndex: key-word columns
+    reversed to most-significant-first."""
+    nw = index.kmer_words.shape[1]
+    cols = tuple(
+        np.ascontiguousarray(index.kmer_words[:, j])
+        for j in range(nw - 1, -1, -1)
+    )
+    return (
+        cols,
+        index.set_id.astype(np.int32),
+        index.genome_counts().astype(np.int32),
+    )
 
 
 def _shift_pack(lo, hi, tag_bit):

@@ -35,9 +35,16 @@ from shotgun_tpu.models.pipeline import (
     aggregate_batch,
     core_from_probe,
 )
-from shotgun_tpu.ops.encode import rolling_encode_jnp, window_quality_sums
-from shotgun_tpu.ops.probe_sort import SortedTableDev
-from shotgun_tpu.ops.probe_sort2 import probe_dedupe_sorted
+from shotgun_tpu.ops.encode import (
+    rolling_encode_jnp,
+    rolling_encode_words_jnp,
+    window_quality_sums,
+)
+from shotgun_tpu.ops.probe_sort import SortedTableDev, SortedTableDevW
+from shotgun_tpu.ops.probe_sort2 import (
+    probe_dedupe_sorted,
+    probe_dedupe_sorted_words,
+)
 from shotgun_tpu.parallel.mesh import _lifted_psum_agg
 
 #: table pad rows: all-ones keys could collide with the poly-T k-mer, so
@@ -78,16 +85,39 @@ def pad_table_for_sharding(
     )
 
 
-def device_put_sharded_table(mesh: Mesh, tab: SortedTableDev) -> SortedTableDev:
+def pad_table_words_for_sharding(
+    tab_host: Tuple[Tuple[np.ndarray, ...], np.ndarray, np.ndarray],
+    n_shards: int,
+) -> SortedTableDevW:
+    """Multi-word form of ``pad_table_for_sharding`` (any k).
+
+    Pad rows carry all-ones key words and gc == 0; the words probe gives
+    gc==0 rows the pad tag, so they are inert even when the all-ones key
+    equals a real poly-T k-mer (possible when 2k == 32*nw)."""
+    cols, sid, gc = tab_host
+    u = cols[0].size
+    up = -(-max(u, 1) // n_shards) * n_shards
+    pad = up - u
+    return SortedTableDevW(
+        kws=tuple(
+            np.concatenate([c, np.full(pad, _PAD_KEY, np.uint32)])
+            for c in cols
+        ),
+        sid=np.concatenate([sid, np.zeros(pad, np.int32)]).astype(np.int32),
+        gc=np.concatenate([gc, np.zeros(pad, np.int32)]).astype(np.int32),
+    )
+
+
+def device_put_sharded_table(mesh: Mesh, tab):
     """Place the padded table with its key dim split along 'table' and
     replicated along 'data'."""
-    if not isinstance(tab, SortedTableDev):
+    if not isinstance(tab, (SortedTableDev, SortedTableDevW)):
         raise TypeError(
             "table sharding supports the sort-merge probe only "
             f"(got {type(tab).__name__})"
         )
     sh = NamedSharding(mesh, P("table"))
-    return SortedTableDev(*(jax.device_put(a, sh) for a in tab))
+    return jax.tree.map(lambda a: jax.device_put(a, sh), tab)
 
 
 @functools.partial(
@@ -119,7 +149,7 @@ def align_aggregate_table_sharded(
     hash table would need its bucket space re-hashed per shard; run it
     replicated via ``parallel.mesh.align_aggregate_sharded`` instead.
     """
-    if not isinstance(tab, SortedTableDev):
+    if not isinstance(tab, (SortedTableDev, SortedTableDevW)):
         raise TypeError(
             "table sharding supports the sort-merge probe only "
             f"(got {type(tab).__name__}); build the table with "
@@ -135,7 +165,6 @@ def align_aggregate_table_sharded(
            m, p, mrq, mkq, mg):
         b, l = codes.shape
         w = l - k + 1
-        lo, hi = rolling_encode_jnp(codes, k)
         w_iota = jax.lax.broadcasted_iota(jnp.int32, (b, w), 1)
         lens = lengths.astype(jnp.int32)
         valid = w_iota < (lens - jnp.int32(k - 1))[:, None]
@@ -144,13 +173,22 @@ def align_aggregate_table_sharded(
             kq_ok = valid & (qsum >= mkq * jnp.int32(k))
         else:
             kq_ok = valid
-        hit, sid, gcount, first_occ = probe_dedupe_sorted(
-            tab, lo, hi, kq_ok,
-            num_sets=num_sets, max_genome_count=r,
-        )
-        # pad rows are marked by gc == 0
-        hit = hit & (gcount > 0)
-        first_occ = first_occ & hit
+        if isinstance(tab, SortedTableDevW):
+            # multi-word keys (any k): pads are tag-excluded by gc == 0
+            qws = rolling_encode_words_jnp(codes, k)
+            hit, sid, gcount, first_occ = probe_dedupe_sorted_words(
+                tab, qws, kq_ok,
+                num_sets=num_sets, max_genome_count=r,
+            )
+        else:
+            lo, hi = rolling_encode_jnp(codes, k)
+            hit, sid, gcount, first_occ = probe_dedupe_sorted(
+                tab, lo, hi, kq_ok,
+                num_sets=num_sets, max_genome_count=r,
+            )
+            # pad rows are marked by gc == 0
+            hit = hit & (gcount > 0)
+            first_occ = first_occ & hit
         # merge across table shards: exactly one shard hits a given key
         hit = jax.lax.pmax(hit.astype(jnp.int32), "table") > 0
         sid = jax.lax.pmax(sid, "table")
@@ -168,10 +206,12 @@ def align_aggregate_table_sharded(
         # identical on every table shard -> psum over 'data' only
         return _lifted_psum_agg(local, rows_per_shard, r)
 
+    import jax.tree_util as jtu
+    tab_specs = jtu.tree_map(lambda _: P("table"), tab)
     return jax.shard_map(
         fn, mesh=mesh,
         in_specs=(
-            SortedTableDev(P("table"), P("table"), P("table"), P("table")),
+            tab_specs,
             P(),
             P("data", None), P("data", None), P("data"), P("data"),
             P(), P(), P(), P(), P(),

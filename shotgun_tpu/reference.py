@@ -20,7 +20,12 @@ from typing import Any, Dict, Iterable, List, Optional, Set
 import numpy as np
 
 from shotgun_tpu import constants
-from shotgun_tpu.index.build import KmerIndex, build_index, pack_key64
+from shotgun_tpu.index.build import (
+    KmerIndex,
+    build_index,
+    num_key_words,
+    sort_keys_from_words,
+)
 from shotgun_tpu.index.extsim import apply_similarity_filter
 from shotgun_tpu.index.hashtable import ProbeTable, build_probe_table
 from shotgun_tpu.io.packing import pack_genomes
@@ -117,8 +122,12 @@ class KmerReference:
         val = 0
         for c in codes:
             val = (val << 2) | int(c)
-        key = np.uint64(val)
-        keys = pack_key64(self.index.kmer_lo, self.index.kmer_hi)
+        nw = num_key_words(self.index.k)
+        qwords = np.asarray(
+            [(val >> (32 * j)) & 0xFFFFFFFF for j in range(nw)], dtype=np.uint32
+        )[None, :]
+        key = sort_keys_from_words(qwords)[0]
+        keys = self.index.sort_keys()
         pos = int(np.searchsorted(keys, key))
         if pos < keys.size and keys[pos] == key:
             return pos
@@ -204,7 +213,7 @@ class KmerReference:
         idx = self.index
         meta = {
             "format": "shotgun-tpu-kdb",
-            "version": 1,
+            "version": 2,
             "k": idx.k,
             "descriptions": idx.descriptions,
             "similarity_info": idx.similarity_info,
@@ -214,8 +223,7 @@ class KmerReference:
             meta=np.frombuffer(json.dumps(meta).encode("utf-8"), dtype=np.uint8),
             record_lengths=idx.record_lengths,
             kept=idx.kept,
-            kmer_lo=idx.kmer_lo,
-            kmer_hi=idx.kmer_hi,
+            kmer_words=idx.kmer_words,
             first_seen=idx.first_seen,
             post_offsets=idx.post_offsets,
             post_record=idx.post_record,
@@ -237,13 +245,17 @@ class KmerReference:
                 meta = json.loads(bytes(data["meta"]).decode("utf-8"))
                 if meta.get("format") != "shotgun-tpu-kdb":
                     raise KDBFormatError("not a shotgun-tpu kdb file")
+                if "kmer_words" in data:
+                    kmer_words = data["kmer_words"]
+                else:  # version-1 container: (lo, hi) columns
+                    kmer_words = np.stack(
+                        [data["kmer_lo"], data["kmer_hi"]], axis=1)
                 return KmerIndex(
                     k=int(meta["k"]),
                     descriptions=list(meta["descriptions"]),
                     record_lengths=data["record_lengths"],
                     kept=data["kept"],
-                    kmer_lo=data["kmer_lo"],
-                    kmer_hi=data["kmer_hi"],
+                    kmer_words=kmer_words,
                     first_seen=data["first_seen"],
                     post_offsets=data["post_offsets"],
                     post_record=data["post_record"],
@@ -267,14 +279,33 @@ class KmerReference:
 
         'sort' (default): gather-free sort-merge probe -- fastest measured
         on v5e and only 16B/key.  'hash': bucketized single-gather table
-        (~268B/key); kept for workloads where batch << table size.
+        (~268B/key); kept for workloads where batch << table size; its
+        (lo, hi) slot layout supports k <= 31 only -- larger k always uses
+        the multi-word sorted table (any key width).
         ``method`` defaults to env SHOTGUN_TPU_PROBE or 'sort'."""
         import jax.numpy as jnp
 
         from shotgun_tpu.ops.probe import HashTableDev
-        from shotgun_tpu.ops.probe_sort import SortedTableDev, sorted_table_host
+        from shotgun_tpu.ops.probe_sort import (
+            SortedTableDev,
+            SortedTableDevW,
+            sorted_table_host,
+            sorted_table_host_words,
+        )
 
         method = method or os.environ.get("SHOTGUN_TPU_PROBE", "sort")
+        if self.index.k > 31:
+            if method == "hash":
+                raise ValueError(
+                    "the bucketized hash probe supports k <= 31 only; "
+                    "use the sort-merge probe (SHOTGUN_TPU_PROBE=sort) for "
+                    f"k={self.index.k}"
+                )
+            cols, sid, gc = sorted_table_host_words(self.index)
+            return SortedTableDevW(
+                kws=tuple(jnp.asarray(c) for c in cols),
+                sid=jnp.asarray(sid), gc=jnp.asarray(gc),
+            )
         if method == "sort":
             klo, khi, sid, gc = sorted_table_host(self.index)
             return SortedTableDev(
@@ -287,6 +318,11 @@ class KmerReference:
         )
 
     def probe_table(self) -> ProbeTable:
+        if self.index.k > 31:
+            raise ValueError(
+                "the bucketized hash table packs keys as (lo, hi) pairs "
+                f"and supports k <= 31 only (k={self.index.k})"
+            )
         if self._probe_table is None:
             idx = self.index
             self._probe_table = build_probe_table(
