@@ -606,6 +606,15 @@ class PseudoAlignment:
         order = np.argsort(key, axis=1, kind="stable")
         in_sorted = np.take_along_axis(in_list, order, axis=1)
 
+        # one row-major boolean select yields every read's mapping list
+        # (sorted-key order within each row) concatenated; np.split hands
+        # back per-read views without a per-row fancy-index pass
+        in_sorted &= ~filtered[:, None]
+        counts = in_sorted.sum(axis=1)
+        flat_all = order[in_sorted]
+        splits = np.split(flat_all, np.cumsum(counts)[:-1])
+        mt_list = mtype.tolist()
+
         for i in range(rows):
             if filtered[i]:
                 continue
@@ -616,12 +625,9 @@ class PseudoAlignment:
                 )
             self._seen_ids.add(rid)
             self._read_ids.append(rid)
-            self._mtypes.append(
-                _CODE_FROM_MTYPE[_MTYPE_FROM_CODE[int(mtype[i])]]
-            )
-            lst = order[i][in_sorted[i]]
-            self._list_flat.append(lst)
-            self._list_counts.append(lst.size)
+            self._mtypes.append(int(mt_list[i]))
+            self._list_flat.append(splits[i])
+            self._list_counts.append(int(counts[i]))
 
     # -- summary (reference kmer.py:622-657) --------------------------------
 

@@ -37,12 +37,23 @@ from jax.experimental import pallas as pl
 _EMPTY32 = 0xFFFFFFFF
 
 
-def _block_rows(b: int, target: int = 256) -> int:
-    """Largest divisor of b that is <= target (grid must tile exactly)."""
-    bs = min(b, target)
-    while b % bs:
-        bs -= 1
-    return bs
+def _block_shape(b: int, target: int = 256) -> Tuple[int, int]:
+    """(block rows, padded batch) for a row-blocked grid.
+
+    Rather than shrinking the block to a divisor of b (which degrades to
+    1-row blocks for prime batches -- a Mosaic lowering hazard and a
+    throughput cliff; ADVICE.md r2 #3), the batch is padded up to a
+    sublane-friendly multiple and callers slice the outputs back."""
+    nb = -(-b // target)
+    bs = -(-(-(-b // nb)) // 8) * 8
+    return bs, nb * bs
+
+
+def _pad_rows(x: jnp.ndarray, bp: int) -> jnp.ndarray:
+    b = x.shape[0]
+    if b == bp:
+        return x
+    return jnp.pad(x, ((0, bp - b),) + ((0, 0),) * (x.ndim - 1))
 
 
 # ---------------------------------------------------------------------------
@@ -66,11 +77,11 @@ def rolling_encode_pallas(
     """[B, L] uint8 -> ([B, W], [B, W]) uint32 k-mer (lo, hi) words."""
     b, l = codes.shape
     w = l - k + 1
-    bs = _block_rows(b)
-    out = jax.ShapeDtypeStruct((b, w), jnp.uint32)
-    return pl.pallas_call(
+    bs, bp = _block_shape(b)
+    out = jax.ShapeDtypeStruct((bp, w), jnp.uint32)
+    lo, hi = pl.pallas_call(
         functools.partial(_encode_kernel, k=k, w=w),
-        grid=(b // bs,),
+        grid=(bp // bs,),
         in_specs=[pl.BlockSpec((bs, l), lambda i: (i, 0))],
         out_specs=(
             pl.BlockSpec((bs, w), lambda i: (i, 0)),
@@ -78,7 +89,8 @@ def rolling_encode_pallas(
         ),
         out_shape=(out, out),
         interpret=interpret,
-    )(codes)
+    )(_pad_rows(codes, bp))
+    return lo[:b], hi[:b]
 
 
 # ---------------------------------------------------------------------------
@@ -98,15 +110,16 @@ def window_qsums_pallas(
     """[B, L] uint8 raw quality bytes -> [B, W] int32 window sums."""
     b, l = qual.shape
     w = l - k + 1
-    bs = _block_rows(b)
-    return pl.pallas_call(
+    bs, bp = _block_shape(b)
+    res = pl.pallas_call(
         functools.partial(_qsum_kernel, k=k, w=w),
-        grid=(b // bs,),
+        grid=(bp // bs,),
         in_specs=[pl.BlockSpec((bs, l), lambda i: (i, 0))],
         out_specs=pl.BlockSpec((bs, w), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, w), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((bp, w), jnp.int32),
         interpret=interpret,
-    )(qual)
+    )(_pad_rows(qual, bp))
+    return res[:b]
 
 
 # ---------------------------------------------------------------------------
@@ -128,15 +141,13 @@ def _resolve_kernel(rows_ref, bidx_ref, lo_ref, hi_ref,
         v0 = rows_ref[:, :, s, 2]
         v1 = rows_ref[:, :, s, 3]
         m = (k0 == lo) & (k1 == hi) & (v0 != empty)
-        # min/max across matching slots: identical to ops.probe.resolve_rows
-        # (a real table matches at most one slot; the reduction direction
-        # only matters for malformed tables and tests)
-        sid = jnp.minimum(sid, jnp.where(m, v0, empty))
-        gc = jnp.maximum(gc, jnp.where(m, v1, jnp.uint32(0)))
-        pos = jnp.minimum(
-            pos,
-            jnp.where(m, bidx * jnp.uint32(slots) + jnp.uint32(s), empty),
-        )
+        # select-on-match instead of an unsigned min/max reduction: a real
+        # table holds each key in at most one slot, so overwriting is
+        # exact -- and this Mosaic build cannot legalize vector
+        # arith.minui/maxui (the round-2 bench killer)
+        sid = jnp.where(m, v0, sid)
+        gc = jnp.where(m, v1, gc)
+        pos = jnp.where(m, bidx * jnp.uint32(slots) + jnp.uint32(s), pos)
     sid_ref[:, :] = sid
     gc_ref[:, :] = gc
     pos_ref[:, :] = pos
@@ -155,11 +166,11 @@ def resolve_rows_pallas(
     ``ops.probe.resolve_rows``, which layers the stash merge and final
     miss-masking on top of either implementation."""
     b, w, slots, _ = rows.shape
-    bs = _block_rows(b, target=64)
-    out = jax.ShapeDtypeStruct((b, w), jnp.uint32)
-    return pl.pallas_call(
+    bs, bp = _block_shape(b, target=64)
+    out = jax.ShapeDtypeStruct((bp, w), jnp.uint32)
+    sid, gc, pos = pl.pallas_call(
         functools.partial(_resolve_kernel, slots=slots),
-        grid=(b // bs,),
+        grid=(bp // bs,),
         in_specs=[
             pl.BlockSpec((bs, w, slots, 4), lambda i: (i, 0, 0, 0)),
             pl.BlockSpec((bs, w), lambda i: (i, 0)),
@@ -173,4 +184,6 @@ def resolve_rows_pallas(
         ),
         out_shape=(out, out, out),
         interpret=interpret,
-    )(rows, bidx, lo, hi)
+    )(_pad_rows(rows, bp), _pad_rows(bidx, bp),
+      _pad_rows(lo, bp), _pad_rows(hi, bp))
+    return sid[:b], gc[:b], pos[:b]

@@ -50,6 +50,30 @@ def test_golden(name):
     assert out.stdout == expected
 
 
+# --- RUN_LOG acceptance grid (k=31/75/150, 150+ bp reads, MRQ/MKQ/MG,
+# sim 0.75, m/p variations; reference src/RUN_LOG:1-115; corpus + goldens
+# recorded by tests/tools/make_goldens_runlog.py) -----------------------------
+
+RUNLOG = os.path.join(GOLDEN, "runlog")
+with open(os.path.join(RUNLOG, "manifest.json")) as _fh:
+    _RUNLOG_MANIFEST = json.load(_fh)
+
+
+@pytest.mark.parametrize("name", sorted(_RUNLOG_MANIFEST))
+def test_runlog_golden(name):
+    import gzip as _gzip
+
+    args = [
+        a.replace("data/", os.path.join(RUNLOG, "data") + "/")
+        for a in _RUNLOG_MANIFEST[name]["args"]
+    ]
+    out = run_cli(args + ["--batch-size", "512"])
+    assert out.returncode == 0, out.stderr
+    with _gzip.open(os.path.join(RUNLOG, f"{name}.out.gz"), "rt") as fh:
+        expected = fh.read()
+    assert out.stdout == expected
+
+
 # --- full task grid with files ---------------------------------------------
 
 def test_reference_then_dumpref_roundtrip(tmp_path, corpus):

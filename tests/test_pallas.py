@@ -40,8 +40,11 @@ def test_resolve_rows_matches(slots):
     lo = jnp.asarray(rng.integers(0, 8, size=(b, w), dtype=np.uint32))
     hi = jnp.asarray(rng.integers(0, 2, size=(b, w), dtype=np.uint32))
     bidx = jnp.asarray(rng.integers(0, 64, size=(b, w), dtype=np.int32))
+    # well-formed rows: non-planted slot keys sit outside the query key
+    # range, so each key matches at most one slot (a real table's
+    # invariant -- the kernel and the XLA reduction only agree under it)
     rows = jnp.asarray(
-        rng.integers(0, 8, size=(b, w, slots, 4), dtype=np.uint32))
+        rng.integers(100, 200, size=(b, w, slots, 4), dtype=np.uint32))
     # plant some exact matches and some empty slots
     rows = rows.at[:, ::3, 0, 0].set(lo[:, ::3])
     rows = rows.at[:, ::3, 0, 1].set(hi[:, ::3])

@@ -110,6 +110,36 @@ def test_scan_path_matches_oracle_at_4096_genomes(big_corpus):
     assert expected["Statistics"]["unmapped_reads"] > 0
 
 
+def test_extsim_device_matrix_matches_host_at_4096_genomes(big_corpus, monkeypatch):
+    """EXTSIM at G=4096: the accelerator bitset-matmul overlap matrix must
+    reproduce the host path (which is golden-verified vs the reference)
+    bit-for-bit -- scores, keep/filter verdicts, and the filtered index."""
+    import shotgun_tpu.index.extsim as extsim
+
+    genomes, _ = big_corpus
+    # add near-duplicates so the greedy filter actually drops genomes
+    rng = random.Random(7)
+    dup = [(f"d{i}", genomes[rng.randrange(G)][1]) for i in range(64)]
+    recs = _fasta_records(genomes + dup)
+
+    monkeypatch.setattr(extsim, "_DEVICE_MIN_G", 1 << 30)  # force host
+    ref_host = KmerReference(K, recs, filter_similar=True,
+                             similarity_threshold=0.75)
+    monkeypatch.setattr(extsim, "_DEVICE_MIN_G", 1)        # force device
+    ref_dev = KmerReference(K, recs, filter_similar=True,
+                            similarity_threshold=0.75)
+
+    assert ref_dev.similarity_info == ref_host.similarity_info
+    n_filtered = sum(
+        1 for v in ref_dev.similarity_info.values() if v["kept"] == "no")
+    assert n_filtered >= 32  # the near-duplicates were dropped
+    np.testing.assert_array_equal(ref_dev.index.kept, ref_host.index.kept)
+    np.testing.assert_array_equal(
+        ref_dev.index.kmer_words, ref_host.index.kmer_words)
+    np.testing.assert_array_equal(
+        ref_dev.index.post_record, ref_host.index.post_record)
+
+
 def test_scan_path_with_filters_matches_oracle(big_corpus):
     genomes, reads = big_corpus
     # degrade some qualities so MRQ/MKQ fire, and use MG so the shared

@@ -125,13 +125,21 @@ def main():
     failures = 0
     for rnd in range(n_rounds):
         rng = random.Random(seed + rnd)
-        k = rng.choice([5, 11, 21, 31])
+        # k > 31 exercises the multi-word key path (the round-2 silent-
+        # corruption bug lived exactly in the k range this list used to cap)
+        k = rng.choice([5, 11, 21, 31, 40, 64, 75, 150])
+        if k <= 31:
+            read_len = rng.choice([40, 60])
+            glen = rng.choice([120, 300])
+        else:
+            read_len = k + rng.choice([0, 10, 45])
+            glen = max(300, 3 * k)
         fasta, fastq = gen_corpus(
             rng,
             n_genomes=rng.choice([2, 4, 6]),
-            glen=rng.choice([120, 300]),
+            glen=glen,
             n_reads=40,
-            read_len=rng.choice([40, 60]),
+            read_len=read_len,
             dup_description=(rnd % 3 == 2),
         )
         with tempfile.TemporaryDirectory() as td:
