@@ -151,6 +151,16 @@ def main():
         def chunks(self, chunk_records, lmax):
             return _native.fastq_stream_chunks(self._data, chunk_records, lmax)
 
+        def chunks_packed(self, chunk_records, lmax, with_qual):
+            return _native.fastq_stream_chunks_packed(
+                self._data, chunk_records, lmax, with_qual)
+
+    # warm the streamed executables (packed codes + device fold differ
+    # from the staged headline programs); steady-state is what the metric
+    # claims -- cold-compile behavior is covered by the warm_compile probe
+    warm = PseudoAlignment(ref)
+    warm.align_stream(_MemStream(fq_bytes), 1, 1, batch_size=BATCH)
+
     t0 = time.perf_counter()
     alignment = PseudoAlignment(ref)
     alignment.align_stream(_MemStream(fq_bytes), 1, 1, batch_size=BATCH)
@@ -283,8 +293,10 @@ def _pallas_ab_main():
 
     interpret = "tpu" not in jax.devices()[0].platform.lower()
     # pin the dispatch off so the XLA legs measure the XLA lowering even
-    # if SHOTGUN_TPU_PALLAS=1 leaked into this process (ADVICE.md r2 #1)
+    # if SHOTGUN_TPU_PALLAS=1 leaked into this process or the resolve
+    # auto-default is on for this hardware (ADVICE.md r2 #1)
     enc._PALLAS_ENABLED = False
+    enc._PALLAS_RESOLVE = False
     iters = 20
 
     rng = np.random.default_rng(0)
@@ -304,16 +316,17 @@ def _pallas_ab_main():
         return (time.perf_counter() - t0) / iters * 1e3
 
     res = {"interpret": interpret, "pallas_dispatch_enabled": enc.pallas_enabled()}
-    res["encode_xla_ms"] = round(
-        timed(lambda c: enc.rolling_encode_jnp(c, K), codes_d), 3)
-    res["encode_pallas_ms"] = round(
-        timed(lambda c: rolling_encode_pallas(c, K, interpret=interpret),
-              codes_d), 3)
-    res["qsum_xla_ms"] = round(
-        timed(lambda q: enc.window_quality_sums(q, K), qual_d), 3)
-    res["qsum_pallas_ms"] = round(
-        timed(lambda q: window_qsums_pallas(q, K, interpret=interpret),
-              qual_d), 3)
+
+    def leg(name, fn, *args):
+        log(f"[pallas_ab] timing {name}...")
+        res[name] = round(timed(fn, *args), 3)
+
+    leg("encode_xla_ms", lambda c: enc.rolling_encode_jnp(c, K), codes_d)
+    leg("encode_pallas_ms",
+        lambda c: rolling_encode_pallas(c, K, interpret=interpret), codes_d)
+    leg("qsum_xla_ms", lambda q: enc.window_quality_sums(q, K), qual_d)
+    leg("qsum_pallas_ms",
+        lambda q: window_qsums_pallas(q, K, interpret=interpret), qual_d)
 
     # resolve kernel on a smaller row slice; slot width matches the real
     # table default (ADVICE.md r2 #2)
@@ -327,12 +340,12 @@ def _pallas_ab_main():
     lo = jnp.asarray(rng.integers(0, 2**32, size=(rb, w), dtype=np.uint32))
     hi = jnp.asarray(rng.integers(0, 2**32, size=(rb, w), dtype=np.uint32))
     stash0 = jnp.zeros((0, 4), jnp.uint32)
-    res["resolve_xla_ms"] = round(
-        timed(lambda r, b_, l_, h_: resolve_rows(r, b_, stash0, l_, h_),
-              rows, bidx, lo, hi), 3)
-    res["resolve_pallas_ms"] = round(
-        timed(lambda r, b_, l_, h_: resolve_rows_pallas(
-            r, b_, l_, h_, interpret=interpret), rows, bidx, lo, hi), 3)
+    leg("resolve_xla_ms",
+        lambda r, b_, l_, h_: resolve_rows(r, b_, stash0, l_, h_),
+        rows, bidx, lo, hi)
+    leg("resolve_pallas_ms",
+        lambda r, b_, l_, h_: resolve_rows_pallas(
+            r, b_, l_, h_, interpret=interpret), rows, bidx, lo, hi)
     log(f"pallas A/B (ms/call, B={BATCH}, slots={slots}): "
         f"encode xla={res['encode_xla_ms']} pallas={res['encode_pallas_ms']}"
         f" | qsum xla={res['qsum_xla_ms']} pallas={res['qsum_pallas_ms']}"

@@ -300,6 +300,59 @@ extern "C" int64_t stpu_fastq_stream_next(void* handle, int64_t max_records,
   return rec;
 }
 
+// Packed variant: codes are written 2-bit packed (4 bases/byte, little
+// bit-pairs -- the layout of shotgun_tpu.ops.encode.pack_codes_2bit) into
+// row-major [max_records, lmax/4] buffers, and the quality plane is
+// OPTIONAL (pass qual == nullptr when no quality gate consumes it).  This
+// is the transfer-diet fill: the accelerator unpacks on device, so the
+// host never materializes the 1-byte-per-base plane at all.
+//
+// Unlike stpu_fastq_stream_next, this fill is SAFE on unvalidated input
+// (the lazy-scan overlap path runs it concurrently with the validating
+// scan): a record longer than lmax returns -1 instead of overrunning the
+// row, and the caller restarts with a bigger stride.
+extern "C" int64_t stpu_fastq_stream_next_packed(
+    void* handle, int64_t max_records, uint8_t* codes_packed, uint8_t* qual,
+    int32_t* lengths, int64_t lmax) {
+  auto* s = (FastqStream*)handle;
+  const uint8_t* d = s->d;
+  const int64_t stride = lmax / 4;
+  int64_t rec = 0;
+  while (rec < max_records && s->i < s->L.size()) {
+    if (fastq_group_ok(d, s->n, s->L, s->i)) {
+      const Line& ls = s->L[s->i + 1];
+      int64_t sl = ls.end - ls.start;
+      int64_t ql = s->L[s->i + 3].end - s->L[s->i + 3].start;
+      if (sl > lmax || ql > lmax) return -1;
+      lengths[rec] = (int32_t)sl;
+      uint8_t* crow = codes_packed + rec * stride;
+      const uint8_t* src = d + ls.start;
+      int64_t j = 0;
+      for (; j + 4 <= sl; j += 4) {
+        crow[j >> 2] = (uint8_t)(T.code[src[j]] | (T.code[src[j + 1]] << 2) |
+                                 (T.code[src[j + 2]] << 4) |
+                                 (T.code[src[j + 3]] << 6));
+      }
+      if (j < sl) {
+        uint8_t acc = 0;
+        for (int64_t t = 0; j + t < sl; ++t)
+          acc |= (uint8_t)(T.code[src[j + t]] << (2 * t));
+        crow[j >> 2] = acc;
+      }
+      if (qual) {
+        const Line& lq = s->L[s->i + 3];
+        std::memcpy(qual + rec * lmax, d + lq.start,
+                    (size_t)(lq.end - lq.start));
+      }
+      ++rec;
+      s->i += 4;
+    } else {
+      ++s->i;
+    }
+  }
+  return rec;
+}
+
 extern "C" void stpu_fastq_stream_close(void* handle) {
   delete (FastqStream*)handle;
 }

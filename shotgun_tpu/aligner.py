@@ -445,21 +445,39 @@ class PseudoAlignment:
         mkq_t = jnp.int32(min_kmer_quality or 0)
         mg_t = jnp.int32(max_genomes or 0)
 
+        # transfer diet: codes ship 2-bit packed (unpacked on device) and
+        # the quality plane ships only when a quality gate consumes it
+        from shotgun_tpu.models.pipeline import fold_agg_device, init_fold_carry
+        from shotgun_tpu.ops.encode import pack_codes_2bit
+
+        use_qual = (min_read_quality is not None
+                    or min_kmer_quality is not None)
+        dummy_qual = np.zeros((b, 1), dtype=np.uint8)
+
+        # dumpalign path (no stored reads, single device): fold AggResults
+        # on device, one fetch at the end (see align_stream)
+        device_fold = mesh is None and not store_reads
+        carry = (init_fold_carry(int(np.asarray(member_dev).shape[1]))
+                 if device_fold else None)
+        n_batches = 0
+
         pending = []
         for start in range(0, n, b):
             rows = min(b, n - start)
             codes = np.zeros((b, lpad), dtype=np.uint8)
-            qual = np.zeros((b, lpad), dtype=np.uint8)
+            qual = np.zeros((b, lpad), dtype=np.uint8) if use_qual else dummy_qual
             lengths = np.zeros(b, dtype=np.int32)
             codes[:rows, : batch.max_len] = batch.codes[start: start + rows]
-            qual[:rows, : batch.max_len] = batch.qual[start: start + rows]
+            if use_qual:
+                qual[:rows, : batch.max_len] = batch.qual[start: start + rows]
             lengths[:rows] = batch.lengths[start: start + rows]
             row_valid = np.zeros(b, dtype=bool)
             row_valid[:rows] = True
+            codes_p = pack_codes_2bit(codes)
 
             if mesh is not None:
                 codes_d, qual_d, len_d, rv_d = shard_read_arrays(
-                    mesh, codes, qual, lengths, row_valid)
+                    mesh, codes_p, qual, lengths, row_valid)
                 agg = align_aggregate_sharded(
                     probe_tab, member_dev,
                     codes_d, qual_d, len_d, rv_d,
@@ -468,22 +486,36 @@ class PseudoAlignment:
                     has_mrq=min_read_quality is not None,
                     has_mkq=min_kmer_quality is not None,
                     has_mg=max_genomes is not None,
+                    packed=True,
                 )
             else:
                 res, agg = align_batch(
                     probe_tab, member_dev,
-                    jnp.asarray(codes), jnp.asarray(qual), jnp.asarray(lengths),
-                    jnp.asarray(row_valid),
+                    jnp.asarray(codes_p), jnp.asarray(qual),
+                    jnp.asarray(lengths), jnp.asarray(row_valid),
                     m_t, p_t, mrq_t, mkq_t, mg_t,
                     k=k,
                     has_mrq=min_read_quality is not None,
                     has_mkq=min_kmer_quality is not None,
                     has_mg=max_genomes is not None,
+                    packed=True,
                 )
                 if store_reads:
                     pending.append((agg, res, start, rows))
                     continue
+                if device_fold:
+                    carry = fold_agg_device(
+                        carry, agg, jnp.int32(self._batch_no + n_batches))
+                    n_batches += 1
+                    continue
             pending.append((agg, None, start, rows))
+
+        if device_fold:
+            import jax
+
+            self._merge_fold_carry(jax.device_get(carry), r)
+            self._batch_no += n_batches
+            return
 
         # fold after all batches are dispatched: device queue stays full
         # and each host sync happens once results are already done
@@ -514,6 +546,7 @@ class PseudoAlignment:
         ships back per batch; per-read results are not stored
         (dumpalign semantics, store_reads=False).
         """
+        import jax
         import jax.numpy as jnp
 
         from shotgun_tpu.models.pipeline import align_batch
@@ -536,9 +569,6 @@ class PseudoAlignment:
         member_dev = jnp.asarray(ref.set_member_dense())
         r = idx.num_records
 
-        # same length bucketing as align_packed_reads: the native fill
-        # writes rows at this stride, so chunks arrive device-shaped
-        lpad = ((max(stream.max_len, k) + 31) // 32) * 32
         b = batch_size
         m_t = jnp.int32(m)
         p_t = jnp.int32(p)
@@ -546,26 +576,102 @@ class PseudoAlignment:
         mkq_t = jnp.int32(min_kmer_quality or 0)
         mg_t = jnp.int32(max_genomes or 0)
 
-        pending = []
-        for codes, qual, lengths, got in stream.chunks(b, lpad):
-            row_valid = np.zeros(b, dtype=bool)
-            row_valid[:got] = True
-            _res, agg = align_batch(
-                probe_tab, member_dev,
-                jnp.asarray(codes), jnp.asarray(qual), jnp.asarray(lengths),
-                jnp.asarray(row_valid),
-                m_t, p_t, mrq_t, mkq_t, mg_t,
-                k=k,
-                has_mrq=min_read_quality is not None,
-                has_mkq=min_kmer_quality is not None,
-                has_mg=max_genomes is not None,
-            )
-            del _res  # per-read buffers free after execution; keep O(R) agg
-            pending.append(agg)
+        from shotgun_tpu.io.native import LmaxExceeded
+        from shotgun_tpu.models.pipeline import fold_agg_device, init_fold_carry
+        from shotgun_tpu.ops.encode import pack_codes_2bit
 
-        for agg in pending:
-            self._fold_agg(agg, r)
-            self._batch_no += 1
+        use_qual = (min_read_quality is not None
+                    or min_kmer_quality is not None)
+        dummy_qual = np.zeros((b, 1), dtype=np.uint8)
+
+        # lazy-scan overlap: the whole-input validation scan runs on a
+        # worker thread (the ctypes call releases the GIL) concurrently
+        # with the fill + dispatch loop; a validation failure surfaces
+        # from finish_validation and discards the run (the CLI falls back
+        # to the regex engine for the reference's exact errors)
+        if hasattr(stream, "start_validation"):
+            stream.start_validation()
+
+        def run_all(lpad: int):
+            """One full pass at the given row stride.  Device-resident
+            accumulation: per-batch AggResults fold into one donated carry
+            on device, fetched ONCE after the whole stream -- per-batch
+            host folds cost ~9 RPC round trips each on remote-dispatch
+            runtimes (3x the align time itself, measured)."""
+            carry = init_fold_carry(int(member_dev.shape[1]))
+            n_batches = 0
+            if hasattr(stream, "chunks_packed"):
+                # native packed fill: the host never materializes the
+                # 1-byte code plane, and qual fills only when a gate
+                # consumes it
+                chunk_iter = stream.chunks_packed(b, lpad, use_qual)
+            else:
+                chunk_iter = (
+                    (pack_codes_2bit(codes),
+                     qual if use_qual else dummy_qual, lengths, got)
+                    for codes, qual, lengths, got in stream.chunks(b, lpad)
+                )
+            for codes_p, qual, lengths, got in chunk_iter:
+                row_valid = np.zeros(b, dtype=bool)
+                row_valid[:got] = True
+                _res, agg = align_batch(
+                    probe_tab, member_dev,
+                    jnp.asarray(codes_p),
+                    jnp.asarray(qual),
+                    jnp.asarray(lengths),
+                    jnp.asarray(row_valid),
+                    m_t, p_t, mrq_t, mkq_t, mg_t,
+                    k=k,
+                    has_mrq=min_read_quality is not None,
+                    has_mkq=min_kmer_quality is not None,
+                    has_mg=max_genomes is not None,
+                    packed=True,
+                )
+                del _res  # per-read buffers free after execution
+                carry = fold_agg_device(
+                    carry, agg, jnp.int32(self._batch_no + n_batches))
+                n_batches += 1
+            return carry, n_batches
+
+        # same length bucketing as align_packed_reads: the native fill
+        # writes rows at this stride, so chunks arrive device-shaped.  In
+        # lazy mode max_len is a first-record peek; a longer record midway
+        # restarts the pass at double the stride (rare: reads are near-
+        # uniform length in practice)
+        lpad = ((max(stream.max_len, k) + 31) // 32) * 32
+        while True:
+            try:
+                carry, n_batches = run_all(lpad)
+                break
+            except LmaxExceeded:
+                lpad *= 2
+
+        if hasattr(stream, "finish_validation"):
+            stream.finish_validation()  # NativeParseError discards the run
+        self._merge_fold_carry(jax.device_get(carry), r)
+        self._batch_no += n_batches
+
+    def _merge_fold_carry(self, carry, r: int) -> None:
+        """Fold a fetched device FoldCarry (models.pipeline.FoldCarry as
+        numpy arrays) into the host totals -- the one-fetch-per-run
+        counterpart of per-batch ``_fold_agg``."""
+        cnt = [int(x) for x in np.asarray(carry.counters)]
+        self._n_unique += cnt[0]
+        self._n_ambiguous += cnt[1]
+        self._n_unmapped += cnt[2]
+        if self.filter_read_quality_flag:
+            self.filtered_quality_reads += cnt[3]
+        if self.filter_kmer_quality_flag:
+            self.filtered_quality_kmers += cnt[4]
+        if self.filter_max_genomes_flag:
+            self.filtered_hr_kmers += cnt[5]
+        self._unique_by_rec += np.asarray(carry.unique_by_rec, dtype=np.int64)[:r]
+        self._amb_by_rec += np.asarray(carry.amb_by_rec, dtype=np.int64)[:r]
+        fb = np.asarray(carry.first_batch, dtype=np.int64)[:r]
+        fk = np.asarray(carry.first_key, dtype=np.int64)[:r]
+        fresh = (fb < int(0x7FFFFFFF)) & (self._first_batch == _INF)
+        self._first_batch[fresh] = fb[fresh]
+        self._first_key[fresh] = fk[fresh]
 
     def _fold_agg(self, agg, r: int) -> None:
         self._n_unique += int(agg.n_unique)

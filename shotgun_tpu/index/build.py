@@ -47,12 +47,29 @@ def num_key_words(k: int) -> int:
     return max(2, -(-int(k) // 16))
 
 
-def _pack_span(c32: np.ndarray, start: int, span: int, w: int) -> np.ndarray:
-    """2-bit pack of ``span`` consecutive bases starting at offset
-    ``start`` of each of the ``w`` windows (vectorized over windows)."""
-    acc = np.zeros(w, dtype=_U32)
-    for s in range(span):
-        acc = (acc << _U32(2)) | c32[start + s: start + s + w]
+def _pow_packs(c32: np.ndarray, n: int, up_to: int):
+    """Doubling ladder of 2-bit packs: packs[p][i] = pack of c32[i:i+p]
+    (length n-p+1), for p in {1, 2, 4, 8, 16} up to ``up_to``."""
+    packs = {1: c32}
+    p = 1
+    while p < up_to:
+        half = packs[p]
+        p *= 2
+        packs[p] = (half[: n - p + 1] << _U32(p)) | half[p // 2: n - p // 2 + 1]
+    return packs
+
+
+def _pack_span(packs, start: int, span: int, w: int) -> np.ndarray:
+    """2-bit pack of ``span`` (1..16) bases at window offset ``start``,
+    vectorized over w windows, composed from the doubling ladder in
+    O(popcount(span)) passes instead of O(span)."""
+    acc = None
+    off = start
+    for p in (16, 8, 4, 2, 1):
+        if span & p:
+            piece = packs[p][off: off + w]
+            acc = piece if acc is None else (acc << _U32(2 * p)) | piece
+            off += p
     return acc
 
 
@@ -61,9 +78,10 @@ def rolling_encode_words(codes: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndar
 
     Window i covers codes[i:i+k]; invalid when it contains an N.  Word j
     (little-word order) holds bases t in [k-16(j+1), k-16j) of the window,
-    so every word is a contiguous 16-base (top word: k mod 16) pack --
-    total work is O(k) shift passes over W-length arrays, independent of
-    the word count.  Empty when k <= 0 or k > len(codes)
+    so every word is a contiguous 16-base (top word: k mod 16) pack,
+    composed from a doubling ladder of power-of-two packs -- O(log k)
+    shift passes over W-length arrays total, independent of k and of the
+    word count.  Empty when k <= 0 or k > len(codes)
     (reference kmer.py:91-92).
     """
     n = codes.size
@@ -72,13 +90,14 @@ def rolling_encode_words(codes: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndar
         return np.zeros((0, nw), dtype=_U32), np.zeros(0, dtype=bool)
     w = n - k + 1
     c32 = codes.astype(_U32) & _U32(3)
+    packs = _pow_packs(c32, n, min(16, 1 << (k - 1).bit_length()))
     words = np.zeros((w, nw), dtype=_U32)
     for j in range(nw):
         t_hi = k - 16 * j
         if t_hi <= 0:
             break  # zero-padded word (k <= 16 with the 2-word minimum)
         t_lo = max(t_hi - 16, 0)
-        words[:, j] = _pack_span(c32, t_lo, t_hi - t_lo, w)
+        words[:, j] = _pack_span(packs, t_lo, t_hi - t_lo, w)
     bad = (codes >= constants.BASE_N).astype(np.int32)
     cs = np.concatenate([np.zeros(1, dtype=np.int32), np.cumsum(bad, dtype=np.int32)])
     valid = (cs[k:] - cs[:-k]) == 0
@@ -96,13 +115,20 @@ def pack_key64(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
     return (hi.astype(_U64) << _U64(32)) | lo.astype(_U64)
 
 
+_LITTLE = __import__("sys").byteorder == "little"
+
+
 def sort_keys_from_words(words: np.ndarray) -> np.ndarray:
     """[N, nw] key words -> one sortable key per row.
 
-    nw == 2: the packed uint64 (fast path).  Wider: big-endian fixed-width
-    byte strings, whose bytewise (numpy 'S') order equals numeric order --
-    argsort/searchsorted/!= all work on them directly."""
+    nw == 2: the packed uint64 (fast path; on little-endian machines a
+    C-contiguous (lo, hi) row IS the uint64 in memory, so it's a view).
+    Wider: big-endian fixed-width byte strings, whose bytewise (numpy 'S')
+    order equals numeric order -- argsort/searchsorted/!= all work on
+    them directly."""
     if words.shape[1] <= 2:
+        if _LITTLE and words.flags.c_contiguous and words.shape[1] == 2:
+            return words.view(_U64).reshape(-1)
         return pack_key64(words[:, 0], words[:, 1])
     be = np.ascontiguousarray(words[:, ::-1].astype(">u4"))
     return be.view(f"S{4 * words.shape[1]}").reshape(-1)

@@ -136,31 +136,102 @@ class FASTAQStream:
 
     EXTENSIONS = FASTAQFile.EXTENSIONS
 
-    def __init__(self, file_path: str) -> None:
+    def __init__(self, file_path: str, lazy: bool = False) -> None:
         if not any(file_path.endswith(ext) for ext in self.EXTENSIONS):
             raise InvalidExtensionError(
                 f"Invalid file extension. Expected one of {set(self.EXTENSIONS)}, got {file_path}"
             )
         raw = DataFile._read_bytes(file_path)  # gzip.BadGzipFile propagates
+        self._raw = raw
+        self._scan_thread = None
+        self._scan_result = None
+        if lazy:
+            # lazy mode: validation runs concurrently with the align loop
+            # (start_validation / finish_validation); until it finishes,
+            # max_len is a PEEK at the first record and num_records is
+            # unknown.  The packed fill is overrun-safe on unvalidated
+            # input, and any validation failure discards the run (the
+            # caller falls back to the regex engine for exact errors).
+            if not native.available():
+                raise native.NativeParseError(native.STATUS_NON_ASCII, 0, 0)
+            self.num_records: Optional[int] = None
+            self.max_len: int = self._peek_first_len(raw)
+            return
         info = native.fastq_scan(raw)  # NativeParseError propagates
         if info is None:
             raise native.NativeParseError(native.STATUS_NON_ASCII, 0, 0)
-        self._raw = raw
-        self.num_records: int = info.n_records
-        self.max_len: int = info.max_len
+        self.num_records = info.n_records
+        self.max_len = info.max_len
+
+    @staticmethod
+    def _peek_first_len(raw: bytes) -> int:
+        """Length of the first record's sequence line (0 if malformed) --
+        the lazy-mode initial stride guess; longer records retry."""
+        i1 = raw.find(b"\n")
+        if i1 < 0:
+            return 0
+        i2 = raw.find(b"\n", i1 + 1)
+        end = i2 if i2 >= 0 else len(raw)
+        if end > i1 + 1 and raw[end - 1: end] == b"\r":
+            end -= 1
+        return max(end - i1 - 1, 0)
+
+    def start_validation(self) -> None:
+        """Kick off the whole-input native scan on a worker thread (the
+        ctypes call releases the GIL, so it overlaps the fill loop)."""
+        if self._scan_thread is not None or self.num_records is not None:
+            return
+        import threading
+
+        def run():
+            try:
+                self._scan_result = native.fastq_scan(self._raw)
+            except native.NativeParseError as exc:
+                self._scan_result = exc
+
+        self._scan_thread = threading.Thread(target=run, daemon=True)
+        self._scan_thread.start()
+
+    def finish_validation(self) -> None:
+        """Join the scan; raise NativeParseError if the input is invalid
+        (callers discard the streamed results and fall back)."""
+        if self._scan_thread is not None:
+            self._scan_thread.join()
+            self._scan_thread = None
+            res = self._scan_result
+            if isinstance(res, native.NativeParseError):
+                raise res
+            if res is None:
+                raise native.NativeParseError(native.STATUS_NON_ASCII, 0, 0)
+            self.num_records = res.n_records
+            self.max_len = res.max_len
 
     def chunks(self, chunk_records: int, lmax: int):
         """Yield (codes, qual, lengths, n_filled) with row stride ``lmax``
         (must be >= ``self.max_len``); fresh zeroed arrays per chunk."""
         return native.fastq_stream_chunks(self._raw, chunk_records, lmax)
 
+    def chunks_packed(self, chunk_records: int, lmax: int, with_qual: bool):
+        """Yield (codes_2bit [C, lmax/4], qual-or-dummy, lengths, n_filled):
+        the transfer-diet form -- codes arrive device-unpackable 2-bit
+        packed straight from the native fill, and the quality plane is
+        only materialized when a quality gate will consume it."""
+        return native.fastq_stream_chunks_packed(
+            self._raw, chunk_records, lmax, with_qual)
 
-def open_fastq_stream(file_path: str) -> Optional[FASTAQStream]:
+
+def open_fastq_stream(
+    file_path: str, lazy: bool = False
+) -> Optional[FASTAQStream]:
     """FASTAQStream for the file, or None when the native fast path cannot
     serve it (the caller should construct FASTAQFile instead -- including
     for invalid inputs, where the regex engine raises the reference's exact
-    errors).  InvalidExtensionError and gzip.BadGzipFile propagate."""
+    errors).  InvalidExtensionError and gzip.BadGzipFile propagate.
+
+    ``lazy``: skip the up-front scan; validation overlaps the align loop
+    (a validation failure then surfaces as NativeParseError from
+    ``finish_validation`` mid-run, and the caller falls back)."""
     try:
-        return FASTAQStream(file_path)
+        return FASTAQStream(file_path, lazy=lazy)
     except native.NativeParseError:
         return None

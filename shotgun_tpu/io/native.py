@@ -65,6 +65,9 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.stpu_fastq_stream_next.restype = ctypes.c_int64
         lib.stpu_fastq_stream_next.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, u8p, u8p, i32p, ctypes.c_int64]
+        lib.stpu_fastq_stream_next_packed.restype = ctypes.c_int64
+        lib.stpu_fastq_stream_next_packed.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, u8p, u8p, i32p, ctypes.c_int64]
         lib.stpu_fastq_stream_close.restype = None
         lib.stpu_fastq_stream_close.argtypes = [ctypes.c_void_p]
         _lib = lib
@@ -84,6 +87,12 @@ def _as_u8(buf: bytes) -> Tuple[ctypes.POINTER(ctypes.c_uint8), int]:
 
 def _ptr(a: np.ndarray, ctype):
     return a.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+class LmaxExceeded(Exception):
+    """A record in the stream is longer than the caller's row stride
+    (possible in lazy-scan mode, where the stride is a first-record
+    guess); the caller restarts with a larger stride."""
 
 
 class NativeParseError(Exception):
@@ -186,6 +195,45 @@ def fastq_stream_chunks(data: bytes, chunk_records: int, lmax: int):
                 _ptr(codes, ctypes.c_uint8), _ptr(qual, ctypes.c_uint8),
                 _ptr(lengths, ctypes.c_int32), lmax,
             )
+            if got == 0:
+                return
+            yield codes, qual, lengths, int(got)
+            if got < chunk_records:
+                return
+    finally:
+        lib.stpu_fastq_stream_close(handle)
+
+
+def fastq_stream_chunks_packed(data: bytes, chunk_records: int, lmax: int,
+                               with_qual: bool):
+    """Like ``fastq_stream_chunks`` but codes arrive 2-bit packed
+    ([C, lmax/4] uint8, the device-unpack layout of
+    ops.encode.unpack_codes_2bit) and the quality plane is filled only
+    when ``with_qual`` (otherwise a shared zero [C, 1] dummy is yielded).
+    lmax must be a multiple of 4.  Same must-be-scanned-valid contract.
+    """
+    lib = _load()
+    assert lib is not None, "requires the native lib"
+    assert lmax % 4 == 0
+    p, n = _as_u8(data)
+    handle = lib.stpu_fastq_stream_open(p, n)
+    assert handle, "stream open failed on scanned-valid input"
+    null_u8 = ctypes.POINTER(ctypes.c_uint8)()
+    dummy = np.zeros((chunk_records, 1), dtype=np.uint8)
+    try:
+        while True:
+            codes = np.zeros((chunk_records, lmax // 4), dtype=np.uint8)
+            qual = (np.zeros((chunk_records, lmax), dtype=np.uint8)
+                    if with_qual else dummy)
+            lengths = np.zeros(chunk_records, dtype=np.int32)
+            got = lib.stpu_fastq_stream_next_packed(
+                handle, chunk_records,
+                _ptr(codes, ctypes.c_uint8),
+                _ptr(qual, ctypes.c_uint8) if with_qual else null_u8,
+                _ptr(lengths, ctypes.c_int32), lmax,
+            )
+            if got < 0:
+                raise LmaxExceeded(lmax)
             if got == 0:
                 return
             yield codes, qual, lengths, int(got)

@@ -46,8 +46,10 @@ from shotgun_tpu.utils.platform import configure_platform
 configure_platform()
 
 from shotgun_tpu.ops.encode import (
+    pack_codes_2bit,
     rolling_encode_jnp,
     rolling_encode_words_jnp,
+    unpack_codes_2bit,
     window_quality_sums,
 )
 from shotgun_tpu.ops.probe import (
@@ -332,10 +334,12 @@ def core_from_probe(
     )
 
 
-def _window_ok(qual, lengths, k: int, mkq, has_mkq: bool) -> jnp.ndarray:
-    """[B, W] mask of windows inside the read that pass the MKQ gate."""
-    b, l = qual.shape
-    w = l - k + 1
+def _window_ok(qual, lengths, k: int, w: int, mkq, has_mkq: bool) -> jnp.ndarray:
+    """[B, W] mask of windows inside the read that pass the MKQ gate.
+
+    ``w`` comes from the (unpacked) codes shape -- ``qual`` may be a
+    [B, 1] dummy when no quality gate consumes it (transfer diet)."""
+    b = qual.shape[0]
     w_iota = jax.lax.broadcasted_iota(jnp.int32, (b, w), 1)
     lens = lengths.astype(jnp.int32)
     valid = w_iota < (lens - jnp.int32(k - 1))[:, None]
@@ -361,6 +365,7 @@ def align_batch_core(
     has_mrq: bool,
     has_mkq: bool,
     has_mg: bool,
+    packed: bool = False,
 ) -> BatchResult:
     """Single-trace form: probe + everything downstream in one program.
 
@@ -368,13 +373,19 @@ def align_batch_core(
     gather-free sorted table, compile checks, CPU tests).  For the hash
     table on TPU prefer ``align_batch`` which splits the gather into its
     own dispatch.
+
+    ``packed``: codes arrive 2-bit packed [B, L/4] and are unpacked
+    on device (see ``unpack_codes_2bit``).
     """
+    if packed:
+        codes = unpack_codes_2bit(codes)
     if isinstance(probe_tab, SortedTableDevW):
         # multi-word keys (any k): gather-free sorted join with a tag word
         from shotgun_tpu.ops.probe_sort2 import probe_dedupe_sorted_words
 
         qws = rolling_encode_words_jnp(codes, k)
-        kq_ok = _window_ok(qual, lengths, k, mkq, has_mkq)
+        kq_ok = _window_ok(
+            qual, lengths, k, codes.shape[1] - k + 1, mkq, has_mkq)
         hit, sid, gcount, first_occ = probe_dedupe_sorted_words(
             probe_tab, qws, kq_ok,
             num_sets=set_member.shape[0],
@@ -391,7 +402,8 @@ def align_batch_core(
         if _sort_impl() == "v2":
             from shotgun_tpu.ops.probe_sort2 import probe_dedupe_sorted
 
-            kq_ok = _window_ok(qual, lengths, k, mkq, has_mkq)
+            kq_ok = _window_ok(
+                qual, lengths, k, codes.shape[1] - k + 1, mkq, has_mkq)
             hit, sid, gcount, first_occ = probe_dedupe_sorted(
                 probe_tab, lo, hi, kq_ok,
                 num_sets=set_member.shape[0],
@@ -424,6 +436,55 @@ class AggResult(NamedTuple):
     unique_by_rec: jnp.ndarray   # int32 [R]
     amb_by_rec: jnp.ndarray      # int32 [R]
     first_key: jnp.ndarray       # int32 [R] min of row*(R+2)+pos, BIG if absent
+
+
+class FoldCarry(NamedTuple):
+    """Device-resident accumulation of AggResults across batches.
+
+    On remote-dispatch runtimes every scalar fetch is an RPC round trip;
+    folding per-batch AggResults on host cost ~9 round trips per batch
+    (measured: 3x the entire align time).  This carry keeps the whole
+    accumulation on device; the caller fetches it ONCE per run.
+
+    int32 throughout (TPU-native): caps one align call at 2^31-1 reads
+    and 2^31-1 batches -- the host-side totals stay int64 across calls.
+    """
+
+    counters: jnp.ndarray       # int32 [6]: uniq, amb, unmapped, f_reads, f_kmers, hr
+    unique_by_rec: jnp.ndarray  # int32 [Rp]
+    amb_by_rec: jnp.ndarray     # int32 [Rp]
+    first_batch: jnp.ndarray    # int32 [Rp], FOLD_INF when unseen
+    first_key: jnp.ndarray      # int32 [Rp]
+
+
+FOLD_INF = _np.int32(0x7FFFFFFF)
+
+
+def init_fold_carry(rp: int) -> FoldCarry:
+    return FoldCarry(
+        counters=jnp.zeros(6, dtype=jnp.int32),
+        unique_by_rec=jnp.zeros(rp, dtype=jnp.int32),
+        amb_by_rec=jnp.zeros(rp, dtype=jnp.int32),
+        first_batch=jnp.full(rp, FOLD_INF, dtype=jnp.int32),
+        first_key=jnp.full(rp, FOLD_INF, dtype=jnp.int32),
+    )
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def fold_agg_device(carry: FoldCarry, agg: AggResult, batch_no) -> FoldCarry:
+    """One batch's AggResult into the running carry (all on device)."""
+    counters = carry.counters + jnp.stack([
+        agg.n_unique, agg.n_ambiguous, agg.n_unmapped,
+        agg.n_filtered_reads, agg.n_filtered_kmers, agg.n_hr_kmers,
+    ]).astype(jnp.int32)
+    fresh = (agg.first_key < BIG) & (carry.first_batch == FOLD_INF)
+    return FoldCarry(
+        counters=counters,
+        unique_by_rec=carry.unique_by_rec + agg.unique_by_rec,
+        amb_by_rec=carry.amb_by_rec + agg.amb_by_rec,
+        first_batch=jnp.where(fresh, batch_no, carry.first_batch),
+        first_key=jnp.where(fresh, agg.first_key, carry.first_key),
+    )
 
 
 def aggregate_batch(res: BatchResult, row_valid: jnp.ndarray) -> AggResult:
@@ -494,7 +555,8 @@ def aggregate_batch(res: BatchResult, row_valid: jnp.ndarray) -> AggResult:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "has_mrq", "has_mkq", "has_mg", "with_aggregate"),
+    static_argnames=(
+        "k", "has_mrq", "has_mkq", "has_mg", "with_aggregate", "packed"),
     donate_argnums=(0,),
 )
 def _hash_finish(
@@ -513,8 +575,11 @@ def _hash_finish(
     has_mkq: bool,
     has_mg: bool,
     with_aggregate: bool,
+    packed: bool = False,
 ):
     """Stage 2 for the hash probe: resolve pre-gathered rows + classify."""
+    if packed:
+        codes = unpack_codes_2bit(codes)
     lo, hi = rolling_encode_jnp(codes, k)
     probe_res = resolve_rows(rows, bidx, stash, lo, hi)
     res = core_from_probe(
@@ -528,7 +593,8 @@ def _hash_finish(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "has_mrq", "has_mkq", "has_mg", "with_aggregate"),
+    static_argnames=(
+        "k", "has_mrq", "has_mkq", "has_mg", "with_aggregate", "packed"),
 )
 def _sorted_align(
     probe_tab,
@@ -544,11 +610,12 @@ def _sorted_align(
     has_mkq: bool,
     has_mg: bool,
     with_aggregate: bool,
+    packed: bool = False,
 ):
     """Single-dispatch path for the gather-free sort-merge probe."""
     res = align_batch_core(
         probe_tab, set_member, codes, qual, lengths, m, p, mrq, mkq, mg,
-        k=k, has_mrq=has_mrq, has_mkq=has_mkq, has_mg=has_mg,
+        k=k, has_mrq=has_mrq, has_mkq=has_mkq, has_mg=has_mg, packed=packed,
     )
     if with_aggregate:
         return res, aggregate_batch(res, row_valid)
@@ -573,6 +640,7 @@ def align_batch(
     has_mkq: bool,
     has_mg: bool,
     with_aggregate: bool = True,
+    packed: bool = False,
 ):
     """Batch entry point: per-read results and (optionally) aggregation.
 
@@ -580,18 +648,24 @@ def align_batch(
     (standalone gather, then gather-free finish -- see module docstring);
     the sorted-table path is one program.  All device work is async; the
     return values are unfetched device arrays either way.
+
+    ``packed``: codes are 2-bit packed [B, L/4] (4x smaller host->device
+    transfer; see ``unpack_codes_2bit``).  When neither quality gate is
+    active, callers may additionally pass a zero [B, 1] dummy as ``qual``
+    -- the gates are the only consumers.
     """
     if isinstance(probe_tab, HashTableDev):
-        rows, bidx = hash_probe_gather(probe_tab.table, codes, k=k)
+        rows, bidx = hash_probe_gather(
+            probe_tab.table, codes, k=k, packed=packed)
         return _hash_finish(
             rows, bidx, probe_tab.stash, set_member, codes, qual, lengths,
             row_valid, m, p, mrq, mkq, mg,
             k=k, has_mrq=has_mrq, has_mkq=has_mkq, has_mg=has_mg,
-            with_aggregate=with_aggregate,
+            with_aggregate=with_aggregate, packed=packed,
         )
     return _sorted_align(
         probe_tab, set_member, codes, qual, lengths, row_valid,
         m, p, mrq, mkq, mg,
         k=k, has_mrq=has_mrq, has_mkq=has_mkq, has_mg=has_mg,
-        with_aggregate=with_aggregate,
+        with_aggregate=with_aggregate, packed=packed,
     )

@@ -15,19 +15,43 @@ from typing import Tuple
 import jax.numpy as jnp
 import numpy as np
 
-#: SHOTGUN_TPU_PALLAS=1 routes the hot window ops (rolling encode, window
-#: quality sums, bucket-row resolve) through the Pallas kernels in
-#: ops/pallas/kernels.py instead of the XLA lowerings.  Frozen at first
-#: use: jit caches do not key on env vars, so a mid-process change must
-#: not silently retarget already-compiled shapes (ADVICE.md round 1).
+#: SHOTGUN_TPU_PALLAS routes the hot window ops through the Pallas
+#: kernels in ops/pallas/kernels.py instead of the XLA lowerings:
+#:   "1"    -> all three kernels (encode, qsum, resolve)
+#:   "0"    -> none
+#:   unset  -> auto: the bucket-row resolve only, and only on real TPU
+#:             hardware, where it measures 1.8x faster than the XLA
+#:             lowering (v5e A/B, BENCH r3); encode/qsum stay on XLA,
+#:             which wins for both.
+#: Frozen at first use: jit caches do not key on env vars, so a
+#: mid-process change must not silently retarget already-compiled shapes
+#: (ADVICE.md round 1).
 _PALLAS_ENABLED = None
+_PALLAS_RESOLVE = None
 
 
 def pallas_enabled() -> bool:
+    """All-kernels dispatch (encode + qsum + resolve): explicit =1 only."""
     global _PALLAS_ENABLED
     if _PALLAS_ENABLED is None:
-        _PALLAS_ENABLED = os.environ.get("SHOTGUN_TPU_PALLAS", "0") == "1"
+        _PALLAS_ENABLED = os.environ.get("SHOTGUN_TPU_PALLAS", "") == "1"
     return _PALLAS_ENABLED
+
+
+def pallas_resolve_enabled() -> bool:
+    """Resolve-kernel dispatch: explicit =1, or auto-on for real TPU."""
+    global _PALLAS_RESOLVE
+    if _PALLAS_RESOLVE is None:
+        mode = os.environ.get("SHOTGUN_TPU_PALLAS", "")
+        if mode == "1":
+            _PALLAS_RESOLVE = True
+        elif mode == "0":
+            _PALLAS_RESOLVE = False
+        else:
+            import jax
+
+            _PALLAS_RESOLVE = "tpu" in jax.devices()[0].platform.lower()
+    return _PALLAS_RESOLVE
 
 
 def pallas_interpret() -> bool:
@@ -75,6 +99,27 @@ def rolling_encode_jnp(codes: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.nda
         hi = (hi << jnp.uint32(2)) | (lo >> jnp.uint32(30))
         lo = (lo << jnp.uint32(2)) | (c & jnp.uint32(3))
     return lo, hi
+
+
+def unpack_codes_2bit(packed: jnp.ndarray) -> jnp.ndarray:
+    """[B, L/4] uint8 (4 bases/byte, little bit-pairs) -> [B, L] uint8.
+
+    Host->device transfer is the end-to-end bottleneck on remote-dispatch
+    runtimes; reads contain no N (the FASTQ parser rejects it, reference
+    records.py:262), so 2-bit packing is lossless and cuts the codes
+    stream 4x.  The unpack is a handful of VPU shifts inside the jit.
+    """
+    b, p = packed.shape
+    u = packed.astype(jnp.uint32)[:, :, None]
+    shifts = jnp.arange(4, dtype=jnp.uint32)[None, None, :] * jnp.uint32(2)
+    return ((u >> shifts) & jnp.uint32(3)).astype(jnp.uint8).reshape(b, 4 * p)
+
+
+def pack_codes_2bit(codes: np.ndarray) -> np.ndarray:
+    """Host-side inverse of ``unpack_codes_2bit`` ([B, L] u8, L % 4 == 0)."""
+    c = codes.reshape(codes.shape[0], -1, 4)
+    return (c[:, :, 0] | (c[:, :, 1] << 2)
+            | (c[:, :, 2] << 4) | (c[:, :, 3] << 6))
 
 
 def rolling_encode_words_jnp(codes: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, ...]:

@@ -126,8 +126,14 @@ def window_qsums_pallas(
 # bucket-row resolve (compare pre-gathered rows against window keys)
 # ---------------------------------------------------------------------------
 
-def _resolve_kernel(rows_ref, bidx_ref, lo_ref, hi_ref,
-                    sid_ref, gc_ref, pos_ref, *, slots: int):
+def _resolve_kernel(*refs, slots: int):
+    """Operands: slots x (k0, k1, v0, v1) planes + bidx, lo, hi; outputs
+    sid, gc, pos.  Every ref is a lane-friendly [bs, W] tile -- feeding
+    the raw [bs, W, slots, 4] block instead makes Mosaic pad the two tiny
+    minor dims to full (8, 128) tiles and blows the scoped-vmem budget
+    (measured: 118 MB requested for a 128 KB input)."""
+    plane_refs = refs[: 4 * slots]
+    bidx_ref, lo_ref, hi_ref, sid_ref, gc_ref, pos_ref = refs[4 * slots:]
     lo = lo_ref[:, :]
     hi = hi_ref[:, :]
     bidx = bidx_ref[:, :].astype(jnp.uint32)
@@ -136,10 +142,10 @@ def _resolve_kernel(rows_ref, bidx_ref, lo_ref, hi_ref,
     gc = jnp.zeros(lo.shape, dtype=jnp.uint32)
     pos = jnp.full(lo.shape, empty, dtype=jnp.uint32)
     for s in range(slots):
-        k0 = rows_ref[:, :, s, 0]
-        k1 = rows_ref[:, :, s, 1]
-        v0 = rows_ref[:, :, s, 2]
-        v1 = rows_ref[:, :, s, 3]
+        k0 = plane_refs[4 * s][:, :]
+        k1 = plane_refs[4 * s + 1][:, :]
+        v0 = plane_refs[4 * s + 2][:, :]
+        v1 = plane_refs[4 * s + 3][:, :]
         m = (k0 == lo) & (k1 == hi) & (v0 != empty)
         # select-on-match instead of an unsigned min/max reduction: a real
         # table holds each key in at most one slot, so overwriting is
@@ -168,22 +174,19 @@ def resolve_rows_pallas(
     b, w, slots, _ = rows.shape
     bs, bp = _block_shape(b, target=64)
     out = jax.ShapeDtypeStruct((bp, w), jnp.uint32)
+    # per-(slot, word) [B, W] planes: lane-friendly tiles for Mosaic (see
+    # _resolve_kernel); XLA emits the slices as one fused pass over rows
+    planes = [
+        _pad_rows(rows[:, :, s, j], bp)
+        for s in range(slots) for j in range(4)
+    ]
+    spec2d = pl.BlockSpec((bs, w), lambda i: (i, 0))
     sid, gc, pos = pl.pallas_call(
         functools.partial(_resolve_kernel, slots=slots),
         grid=(bp // bs,),
-        in_specs=[
-            pl.BlockSpec((bs, w, slots, 4), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((bs, w), lambda i: (i, 0)),
-            pl.BlockSpec((bs, w), lambda i: (i, 0)),
-            pl.BlockSpec((bs, w), lambda i: (i, 0)),
-        ],
-        out_specs=(
-            pl.BlockSpec((bs, w), lambda i: (i, 0)),
-            pl.BlockSpec((bs, w), lambda i: (i, 0)),
-            pl.BlockSpec((bs, w), lambda i: (i, 0)),
-        ),
+        in_specs=[spec2d] * (4 * slots + 3),
+        out_specs=(spec2d, spec2d, spec2d),
         out_shape=(out, out, out),
         interpret=interpret,
-    )(_pad_rows(rows, bp), _pad_rows(bidx, bp),
-      _pad_rows(lo, bp), _pad_rows(hi, bp))
+    )(*planes, _pad_rows(bidx, bp), _pad_rows(lo, bp), _pad_rows(hi, bp))
     return sid[:b], gc[:b], pos[:b]

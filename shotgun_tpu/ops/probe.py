@@ -43,12 +43,13 @@ class HashTableDev(NamedTuple):
     stash: jnp.ndarray   # uint32 [stash_n, 4]
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
+@functools.partial(jax.jit, static_argnames=("k", "packed"))
 def hash_probe_gather(
     table: jnp.ndarray,   # uint32 [n_buckets, slots, 4]
-    codes: jnp.ndarray,   # uint8  [B, L]
+    codes: jnp.ndarray,   # uint8  [B, L] (or [B, L/4] when packed)
     *,
     k: int,
+    packed: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Stage 1 of the split probe: one standalone bucket-row gather.
 
@@ -56,6 +57,10 @@ def hash_probe_gather(
     (lo, hi) words are recomputed by the consumer (a handful of shifts --
     far cheaper than shipping two more [B, W] buffers between dispatches).
     """
+    if packed:
+        from shotgun_tpu.ops.encode import unpack_codes_2bit
+
+        codes = unpack_codes_2bit(codes)
     lo, hi = rolling_encode_jnp(codes, k)
     n_buckets = table.shape[0]
     bidx = (mix32(lo, hi, jnp) & jnp.uint32(n_buckets - 1)).astype(jnp.int32)
@@ -78,9 +83,13 @@ def resolve_rows(
     one int32 instead of the (lo, hi) pair.  Misses have set_id == -1,
     genome_count == 0, slot_pos == -1.
     """
-    from shotgun_tpu.ops.encode import pallas_enabled, pallas_interpret
+    from shotgun_tpu.ops.encode import (
+        pallas_enabled,
+        pallas_interpret,
+        pallas_resolve_enabled,
+    )
 
-    if pallas_enabled():
+    if pallas_enabled() or pallas_resolve_enabled():
         from shotgun_tpu.ops.pallas.kernels import resolve_rows_pallas
 
         found_sid, found_gc, found_pos = resolve_rows_pallas(

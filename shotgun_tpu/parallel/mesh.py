@@ -28,7 +28,7 @@ from shotgun_tpu.models.pipeline import (
     align_batch_core,
     core_from_probe,
 )
-from shotgun_tpu.ops.encode import mix32, rolling_encode_jnp
+from shotgun_tpu.ops.encode import mix32, rolling_encode_jnp, unpack_codes_2bit
 from shotgun_tpu.ops.probe import HashTableDev, resolve_rows
 
 
@@ -59,10 +59,13 @@ def _lifted_psum_agg(local: AggResult, rows_per_shard: int, r: int) -> AggResult
     )
 
 
-@functools.partial(jax.jit, static_argnames=("mesh", "k"))
-def _sharded_hash_gather(table, codes, *, mesh: Mesh, k: int):
+@functools.partial(jax.jit, static_argnames=("mesh", "k", "packed"))
+def _sharded_hash_gather(table, codes, *, mesh: Mesh, k: int,
+                         packed: bool = False):
     """Stage 1 under shard_map: shard-local standalone bucket-row gather."""
     def fn(table, codes):
+        if packed:
+            codes = unpack_codes_2bit(codes)
         lo, hi = rolling_encode_jnp(codes, k)
         nb = table.shape[0]
         bidx = (mix32(lo, hi, jnp) & jnp.uint32(nb - 1)).astype(jnp.int32)
@@ -94,26 +97,30 @@ def align_aggregate_sharded(
     has_mrq: bool,
     has_mkq: bool,
     has_mg: bool,
+    packed: bool = False,
 ) -> AggResult:
     """Shard reads over the mesh's 'data' axis; return globally-merged
     aggregation (identical to single-device ``aggregate_batch``)."""
     if isinstance(probe_tab, HashTableDev):
-        rows, bidx = _sharded_hash_gather(probe_tab.table, codes, mesh=mesh, k=k)
+        rows, bidx = _sharded_hash_gather(
+            probe_tab.table, codes, mesh=mesh, k=k, packed=packed)
         return _sharded_finish_hash(
             rows, bidx, probe_tab.stash, set_member, codes, qual, lengths,
             row_valid, m, p, mrq, mkq, mg,
             mesh=mesh, k=k, has_mrq=has_mrq, has_mkq=has_mkq, has_mg=has_mg,
+            packed=packed,
         )
     return _sharded_single(
         probe_tab, set_member, codes, qual, lengths, row_valid,
         m, p, mrq, mkq, mg,
         mesh=mesh, k=k, has_mrq=has_mrq, has_mkq=has_mkq, has_mg=has_mg,
+        packed=packed,
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "k", "has_mrq", "has_mkq", "has_mg"),
+    static_argnames=("mesh", "k", "has_mrq", "has_mkq", "has_mg", "packed"),
     donate_argnums=(0,),
 )
 def _sharded_finish_hash(
@@ -121,6 +128,7 @@ def _sharded_finish_hash(
     m, p, mrq, mkq, mg,
     *,
     mesh: Mesh, k: int, has_mrq: bool, has_mkq: bool, has_mg: bool,
+    packed: bool = False,
 ) -> AggResult:
     n_shards = mesh.shape["data"]
     rows_per_shard = codes.shape[0] // n_shards
@@ -128,6 +136,8 @@ def _sharded_finish_hash(
 
     def fn(rows, bidx, stash, set_member, codes, qual, lengths, row_valid,
            m, p, mrq, mkq, mg):
+        if packed:
+            codes = unpack_codes_2bit(codes)
         lo, hi = rolling_encode_jnp(codes, k)
         probe_res = resolve_rows(rows, bidx, stash, lo, hi)
         res = core_from_probe(
@@ -151,13 +161,14 @@ def _sharded_finish_hash(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "k", "has_mrq", "has_mkq", "has_mg"),
+    static_argnames=("mesh", "k", "has_mrq", "has_mkq", "has_mg", "packed"),
 )
 def _sharded_single(
     probe_tab, set_member, codes, qual, lengths, row_valid,
     m, p, mrq, mkq, mg,
     *,
     mesh: Mesh, k: int, has_mrq: bool, has_mkq: bool, has_mg: bool,
+    packed: bool = False,
 ) -> AggResult:
     """One-program path (sort-merge probe: gather-free by construction)."""
     n_shards = mesh.shape["data"]
@@ -169,6 +180,7 @@ def _sharded_single(
         res = align_batch_core(
             probe_tab, set_member, codes, qual, lengths, m, p, mrq, mkq, mg,
             k=k, has_mrq=has_mrq, has_mkq=has_mkq, has_mg=has_mg,
+            packed=packed,
         )
         local = aggregate_batch(res, row_valid)
         return _lifted_psum_agg(local, rows_per_shard, r)
