@@ -78,7 +78,9 @@ def main():
             f"{pt.table.nbytes / 1e6:.1f} MB")
     else:
         probe_tab = ref.device_probe_tables(method)
-        nbytes = sum(np.asarray(a).nbytes for a in jax.tree.leaves(probe_tab))
+        # .nbytes on the jax array -- np.asarray here would fetch the whole
+        # table back over the device link just to log its size
+        nbytes = sum(a.nbytes for a in jax.tree.leaves(probe_tab))
         log(f"probe tables ({method}): {nbytes / 1e6:.1f} MB")
     member = ref.set_member_dense()
     log(f"probe prep: {time.perf_counter() - t0:.2f}s")
