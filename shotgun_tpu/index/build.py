@@ -49,10 +49,14 @@ def num_key_words(k: int) -> int:
 
 def _pow_packs(c32: np.ndarray, n: int, up_to: int):
     """Doubling ladder of 2-bit packs: packs[p][i] = pack of c32[i:i+p]
-    (length n-p+1), for p in {1, 2, 4, 8, 16} up to ``up_to``."""
+    (length n-p+1), for p in {1, 2, 4, 8, 16} up to ``up_to``.
+
+    Stops once a doubled pack would not fit in the array (2p > n) --
+    every span composed by ``_pack_span`` is <= k <= n, so its largest
+    power-of-two piece is always still built."""
     packs = {1: c32}
     p = 1
-    while p < up_to:
+    while p < up_to and 2 * p <= n:
         half = packs[p]
         p *= 2
         packs[p] = (half[: n - p + 1] << _U32(p)) | half[p // 2: n - p // 2 + 1]
@@ -339,7 +343,24 @@ def build_index(
     Very long records are scanned in ``chunk_bases``-sized chunks with a
     (k-1)-base halo so window extraction is embarrassingly parallel and
     peak memory stays bounded (SURVEY.md §5.7: the sequence-parallel
-    analog for genome streams)."""
+    analog for genome streams).
+
+    For k <= 31 the whole assembly runs in the native builder
+    (native/kmer_build.cpp: rolling encode + multithreaded radix sort +
+    set-table dedupe); the numpy path below is the any-k fallback and the
+    differential oracle for it (tests/test_index.py)."""
+    from shotgun_tpu.io import native as _native
+
+    nat = _native.build_kmer_index(genomes.codes, genomes.offsets, k)
+    if nat is not None:
+        return KmerIndex(
+            k=k,
+            descriptions=genomes.descriptions,
+            record_lengths=np.diff(genomes.offsets).astype(np.int64),
+            kept=np.ones(genomes.num_records, dtype=bool),
+            **nat,
+        )
+
     occ_words: List[np.ndarray] = []
     occ_rec: List[np.ndarray] = []
     occ_pos: List[np.ndarray] = []

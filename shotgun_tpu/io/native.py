@@ -39,9 +39,11 @@ def _load() -> Optional[ctypes.CDLL]:
         _lib_failed = True
         return None
     try:
-        src = os.path.join(_NATIVE_DIR, "shotgun_io.cpp")
+        srcs = [os.path.join(_NATIVE_DIR, f)
+                for f in ("shotgun_io.cpp", "kmer_build.cpp")]
         if (not os.path.exists(_LIB_PATH)
-                or os.path.getmtime(_LIB_PATH) < os.path.getmtime(src)):
+                or any(os.path.getmtime(_LIB_PATH) < os.path.getmtime(s)
+                       for s in srcs)):
             subprocess.run(
                 ["make", "-s"], cwd=_NATIVE_DIR, check=True,
                 capture_output=True, timeout=120,
@@ -70,6 +72,17 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_int64, u8p, u8p, i32p, ctypes.c_int64]
         lib.stpu_fastq_stream_close.restype = None
         lib.stpu_fastq_stream_close.argtypes = [ctypes.c_void_p]
+        lib.stpu_build_stage1.restype = ctypes.c_void_p
+        lib.stpu_build_stage1.argtypes = [
+            u8p, ctypes.c_int64, i64p, ctypes.c_int64, ctypes.c_int64, i64p]
+        lib.stpu_build_stage2.restype = ctypes.c_int64
+        lib.stpu_build_stage2.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint32), i64p, i64p,
+            i32p, i64p, i32p]
+        lib.stpu_build_fetch_sets.restype = None
+        lib.stpu_build_fetch_sets.argtypes = [ctypes.c_void_p, u8p, i32p]
+        lib.stpu_build_free.restype = None
+        lib.stpu_build_free.argtypes = [ctypes.c_void_p]
         _lib = lib
     except Exception:
         _lib_failed = True
@@ -87,6 +100,37 @@ def _as_u8(buf: bytes) -> Tuple[ctypes.POINTER(ctypes.c_uint8), int]:
 
 def _ptr(a: np.ndarray, ctype):
     return a.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+_PAGE = 4096
+_MADV_HUGEPAGE = 14
+_libc = None
+
+
+def _advise_hugepages(*arrays: np.ndarray) -> None:
+    """MADV_HUGEPAGE the page-aligned span of each big fresh buffer.
+
+    This host faults 4K pages at ~0.08 GB/s but hugepage-advised spans at
+    ~1.8 GB/s (measured); large np.empty buffers that are about to be
+    written once (the native fetch targets) gain ~20x on first touch.
+    Best-effort: any failure leaves the buffer as-is."""
+    global _libc
+    try:
+        if _libc is None:
+            _libc = ctypes.CDLL(None, use_errno=True)
+        for a in arrays:
+            if a.nbytes < (1 << 20):
+                continue
+            start = a.ctypes.data
+            end = start + a.nbytes
+            astart = (start + _PAGE - 1) & ~(_PAGE - 1)
+            aend = end & ~(_PAGE - 1)
+            if aend > astart:
+                _libc.madvise(ctypes.c_void_p(astart),
+                              ctypes.c_size_t(aend - astart),
+                              ctypes.c_int(_MADV_HUGEPAGE))
+    except Exception:
+        pass
 
 
 class LmaxExceeded(Exception):
@@ -241,6 +285,69 @@ def fastq_stream_chunks_packed(data: bytes, chunk_records: int, lmax: int,
                 return
     finally:
         lib.stpu_fastq_stream_close(handle)
+
+
+def build_kmer_index(codes: np.ndarray, offsets: np.ndarray, k: int):
+    """Native k-mer index assembly (k <= 31): rolling encode + stable
+    multithreaded radix sort + CSR/set-table build in C++
+    (native/kmer_build.cpp).
+
+    Returns a dict of KmerIndex array fields or None when the native lib
+    is unavailable or the input is outside the fast path's domain (the
+    caller falls back to the numpy assembly in index/build.py, which
+    handles any k)."""
+    lib = _load()
+    if lib is None or k < 1 or k > 31:
+        return None
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    n_records = offsets.size - 1
+    sizes = np.zeros(8, dtype=np.int64)
+    handle = lib.stpu_build_stage1(
+        _ptr(codes, ctypes.c_uint8), codes.size,
+        _ptr(offsets, ctypes.c_int64), n_records, k,
+        _ptr(sizes, ctypes.c_int64),
+    )
+    if not handle:
+        return None
+    try:
+        u, p, gbytes = int(sizes[0]), int(sizes[1]), int(sizes[2])
+        # np.empty: stage 2 writes every element directly into these
+        # buffers (no intermediate C++ copy -- see kmer_build.cpp)
+        kmer_words = np.empty((u, 2), dtype=np.uint32)
+        first_seen = np.empty(u, dtype=np.int64)
+        post_offsets = np.empty(u + 1, dtype=np.int64)
+        post_record = np.empty(p, dtype=np.int32)
+        post_pos = np.empty(p, dtype=np.int64)
+        set_id = np.empty(u, dtype=np.int32)
+        _advise_hugepages(kmer_words, first_seen, post_offsets,
+                          post_record, post_pos, set_id)
+        s = int(lib.stpu_build_stage2(
+            handle,
+            _ptr(kmer_words, ctypes.c_uint32),
+            _ptr(first_seen, ctypes.c_int64),
+            _ptr(post_offsets, ctypes.c_int64),
+            _ptr(post_record, ctypes.c_int32),
+            _ptr(post_pos, ctypes.c_int64),
+            _ptr(set_id, ctypes.c_int32),
+        ))
+        set_masks = np.empty((s, gbytes), dtype=np.uint8)
+        set_sizes = np.empty(s, dtype=np.int32)
+        lib.stpu_build_fetch_sets(
+            handle, _ptr(set_masks, ctypes.c_uint8),
+            _ptr(set_sizes, ctypes.c_int32))
+    finally:
+        lib.stpu_build_free(handle)
+    return {
+        "kmer_words": kmer_words,
+        "first_seen": first_seen,
+        "post_offsets": post_offsets,
+        "post_record": post_record,
+        "post_pos": post_pos,
+        "set_id": set_id,
+        "set_masks": set_masks,
+        "set_sizes": set_sizes,
+    }
 
 
 def fasta_parse(data: bytes):

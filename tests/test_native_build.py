@@ -1,0 +1,104 @@
+"""Differential tests: native C++ index build vs the numpy assembly.
+
+The native builder (native/kmer_build.cpp) must agree with the pure
+numpy path (shotgun_tpu/index/build.py) on every observable field:
+
+* ``kmer_words`` / postings byte-exact;
+* ``first_seen`` equal as an ORDER (the native path stores the
+  order-isomorphic (rec << 32 | pos) key of the first occurrence instead
+  of the global scan rank -- only ``display_order`` is observable);
+* set table equal up to set-id permutation (per-k-mer mask bytes and
+  sizes identical).
+"""
+
+import numpy as np
+import pytest
+
+from shotgun_tpu.index import build as B
+from shotgun_tpu.io import native
+from shotgun_tpu.io.packing import GenomeArrays
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native lib unavailable")
+
+
+def _numpy_index(genomes, k):
+    old = native._lib, native._lib_failed
+    native._lib, native._lib_failed = None, True
+    try:
+        return B.build_index(genomes, k)
+    finally:
+        native._lib, native._lib_failed = old
+
+
+def _random_genomes(rng):
+    n_rec = int(rng.integers(1, 9))
+    max_len = int(rng.integers(30, 3000))
+    lens = rng.integers(0, max_len, size=n_rec)
+    # codes 0..4: real bases + N (code 4), so N-window skipping is hit
+    codes = rng.integers(0, 5, size=int(lens.sum()), dtype=np.uint8)
+    offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+    return GenomeArrays(
+        descriptions=[f"g{i}" for i in range(n_rec)],
+        codes=codes, offsets=offsets)
+
+
+def _assert_equivalent(a, b):
+    assert np.array_equal(a.kmer_words, b.kmer_words)
+    assert np.array_equal(np.argsort(a.first_seen, kind="stable"),
+                          np.argsort(b.first_seen, kind="stable"))
+    assert np.array_equal(a.post_offsets, b.post_offsets)
+    assert np.array_equal(a.post_record, b.post_record)
+    assert np.array_equal(a.post_pos, b.post_pos)
+    # set table: compare the per-k-mer mask/size, not the internal ids
+    am = [a.set_masks[s].tobytes() for s in a.set_id]
+    bm = [b.set_masks[s].tobytes() for s in b.set_id]
+    assert am == bm
+    assert np.array_equal(a.set_sizes[a.set_id], b.set_sizes[b.set_id])
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_native_build_matches_numpy(seed):
+    rng = np.random.default_rng(1000 + seed)
+    genomes = _random_genomes(rng)
+    k = int(rng.integers(1, 32))
+    a = B.build_index(genomes, k)
+    b = _numpy_index(genomes, k)
+    _assert_equivalent(a, b)
+
+
+def test_native_build_used_for_small_k():
+    """k <= 31 dispatches to the native builder (fast path actually on)."""
+    rng = np.random.default_rng(3)
+    genomes = _random_genomes(rng)
+    got = native.build_kmer_index(genomes.codes, genomes.offsets, 21)
+    assert got is not None
+
+
+def test_native_build_declines_large_k():
+    rng = np.random.default_rng(4)
+    genomes = _random_genomes(rng)
+    assert native.build_kmer_index(genomes.codes, genomes.offsets, 40) is None
+
+
+def test_empty_and_short_records():
+    """Records shorter than k (incl. empty) produce no windows."""
+    g = GenomeArrays(descriptions=["a", "b", "c"],
+                     codes=np.array([0, 1, 2], dtype=np.uint8),
+                     offsets=np.array([0, 0, 3, 3], dtype=np.int64))
+    a = B.build_index(g, 2)
+    b = _numpy_index(g, 2)
+    _assert_equivalent(a, b)
+    assert a.num_kmers == 2  # AC, CG
+
+    # k longer than every record -> empty index
+    a = B.build_index(g, 7)
+    assert a.num_kmers == 0 and a.post_offsets.tolist() == [0]
+
+
+def test_all_n_genome():
+    g = GenomeArrays(descriptions=["n"],
+                     codes=np.full(50, 4, dtype=np.uint8),
+                     offsets=np.array([0, 50], dtype=np.int64))
+    a = B.build_index(g, 5)
+    assert a.num_kmers == 0
