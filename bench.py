@@ -32,7 +32,9 @@ GENOME_LEN = int(os.environ.get("BENCH_GENOME_LEN", 200_000))
 N_READS = int(os.environ.get("BENCH_READS", 262_144))
 READ_LEN = int(os.environ.get("BENCH_READ_LEN", 150))
 K = int(os.environ.get("BENCH_K", 31))
-BATCH = int(os.environ.get("BENCH_BATCH", 32768))
+# B=16384 measured fastest on v5e (610k reads/s vs 575k at 32768 and
+# 505k at 65536 -- r3 A/B); override with BENCH_BATCH
+BATCH = int(os.environ.get("BENCH_BATCH", 16384))
 SLOTS = int(os.environ.get("BENCH_SLOTS", 0))  # 0 = library default
 
 

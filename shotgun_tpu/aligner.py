@@ -457,7 +457,8 @@ class PseudoAlignment:
         # dumpalign path (no stored reads, single device): fold AggResults
         # on device, one fetch at the end (see align_stream)
         device_fold = mesh is None and not store_reads
-        carry = (init_fold_carry(int(np.asarray(member_dev).shape[1]))
+        carry = (init_fold_carry(int(np.asarray(member_dev).shape[1]),
+                                 start_batch=self._batch_no)
                  if device_fold else None)
         n_batches = 0
 
@@ -504,8 +505,7 @@ class PseudoAlignment:
                     pending.append((agg, res, start, rows))
                     continue
                 if device_fold:
-                    carry = fold_agg_device(
-                        carry, agg, jnp.int32(self._batch_no + n_batches))
+                    carry = fold_agg_device(carry, agg)
                     n_batches += 1
                     continue
             pending.append((agg, None, start, rows))
@@ -577,12 +577,21 @@ class PseudoAlignment:
         mg_t = jnp.int32(max_genomes or 0)
 
         from shotgun_tpu.io.native import LmaxExceeded
-        from shotgun_tpu.models.pipeline import fold_agg_device, init_fold_carry
+        from shotgun_tpu.models.pipeline import (
+            align_fold_batch,
+            fold_agg_device,
+            init_fold_carry,
+        )
         from shotgun_tpu.ops.encode import pack_codes_2bit
+        from shotgun_tpu.ops.probe import HashTableDev
 
         use_qual = (min_read_quality is not None
                     or min_kmer_quality is not None)
         dummy_qual = np.zeros((b, 1), dtype=np.uint8)
+        # no quality gate -> ship the zero dummy plane ONCE; every per-
+        # batch transfer is an RPC on the remote-dispatch runtime
+        dummy_qual_dev = None if use_qual else jnp.asarray(dummy_qual)
+        fused = not isinstance(probe_tab, HashTableDev)
 
         # lazy-scan overlap: the whole-input validation scan runs on a
         # worker thread (the ctypes call releases the GIL) concurrently
@@ -597,8 +606,14 @@ class PseudoAlignment:
             accumulation: per-batch AggResults fold into one donated carry
             on device, fetched ONCE after the whole stream -- per-batch
             host folds cost ~9 RPC round trips each on remote-dispatch
-            runtimes (3x the align time itself, measured)."""
-            carry = init_fold_carry(int(member_dev.shape[1]))
+            runtimes (3x the align time itself, measured).
+
+            Sorted-table probes run the FUSED one-dispatch program
+            (align_fold_batch): 2 transfers + 1 dispatch per batch, and
+            XLA drops every per-read buffer.  Hash probes keep the
+            two-dispatch gather split."""
+            carry = init_fold_carry(int(member_dev.shape[1]),
+                                    start_batch=self._batch_no)
             n_batches = 0
             if hasattr(stream, "chunks_packed"):
                 # native packed fill: the host never materializes the
@@ -611,25 +626,35 @@ class PseudoAlignment:
                      qual if use_qual else dummy_qual, lengths, got)
                     for codes, qual, lengths, got in stream.chunks(b, lpad)
                 )
+            has = dict(
+                has_mrq=min_read_quality is not None,
+                has_mkq=min_kmer_quality is not None,
+                has_mg=max_genomes is not None,
+            )
             for codes_p, qual, lengths, got in chunk_iter:
-                row_valid = np.zeros(b, dtype=bool)
-                row_valid[:got] = True
-                _res, agg = align_batch(
-                    probe_tab, member_dev,
-                    jnp.asarray(codes_p),
-                    jnp.asarray(qual),
-                    jnp.asarray(lengths),
-                    jnp.asarray(row_valid),
-                    m_t, p_t, mrq_t, mkq_t, mg_t,
-                    k=k,
-                    has_mrq=min_read_quality is not None,
-                    has_mkq=min_kmer_quality is not None,
-                    has_mg=max_genomes is not None,
-                    packed=True,
-                )
-                del _res  # per-read buffers free after execution
-                carry = fold_agg_device(
-                    carry, agg, jnp.int32(self._batch_no + n_batches))
+                qual_dev = (jnp.asarray(qual) if use_qual
+                            else dummy_qual_dev)
+                if fused:
+                    carry = align_fold_batch(
+                        carry, probe_tab, member_dev,
+                        jnp.asarray(codes_p), qual_dev,
+                        jnp.asarray(lengths),
+                        m_t, p_t, mrq_t, mkq_t, mg_t,
+                        k=k, packed=True, **has,
+                    )
+                else:
+                    row_valid = np.zeros(b, dtype=bool)
+                    row_valid[:got] = True
+                    _res, agg = align_batch(
+                        probe_tab, member_dev,
+                        jnp.asarray(codes_p), qual_dev,
+                        jnp.asarray(lengths),
+                        jnp.asarray(row_valid),
+                        m_t, p_t, mrq_t, mkq_t, mg_t,
+                        k=k, packed=True, **has,
+                    )
+                    del _res  # per-read buffers free after execution
+                    carry = fold_agg_device(carry, agg)
                 n_batches += 1
             return carry, n_batches
 

@@ -455,24 +455,29 @@ class FoldCarry(NamedTuple):
     amb_by_rec: jnp.ndarray     # int32 [Rp]
     first_batch: jnp.ndarray    # int32 [Rp], FOLD_INF when unseen
     first_key: jnp.ndarray      # int32 [Rp]
+    batch_no: jnp.ndarray       # int32 [] index of the NEXT batch to fold
 
 
 FOLD_INF = _np.int32(0x7FFFFFFF)
 
 
-def init_fold_carry(rp: int) -> FoldCarry:
+def init_fold_carry(rp: int, start_batch: int = 0) -> FoldCarry:
     return FoldCarry(
         counters=jnp.zeros(6, dtype=jnp.int32),
         unique_by_rec=jnp.zeros(rp, dtype=jnp.int32),
         amb_by_rec=jnp.zeros(rp, dtype=jnp.int32),
         first_batch=jnp.full(rp, FOLD_INF, dtype=jnp.int32),
         first_key=jnp.full(rp, FOLD_INF, dtype=jnp.int32),
+        batch_no=jnp.int32(start_batch),
     )
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
-def fold_agg_device(carry: FoldCarry, agg: AggResult, batch_no) -> FoldCarry:
-    """One batch's AggResult into the running carry (all on device)."""
+def _fold_agg(carry: FoldCarry, agg: AggResult) -> FoldCarry:
+    """Trace-level fold of one batch's AggResult into the running carry.
+
+    The batch index lives IN the carry (incremented here) so streaming
+    callers never ship a per-batch scalar to the device -- on the
+    remote-dispatch runtime each tiny device_put is a full RPC."""
     counters = carry.counters + jnp.stack([
         agg.n_unique, agg.n_ambiguous, agg.n_unmapped,
         agg.n_filtered_reads, agg.n_filtered_kmers, agg.n_hr_kmers,
@@ -482,9 +487,58 @@ def fold_agg_device(carry: FoldCarry, agg: AggResult, batch_no) -> FoldCarry:
         counters=counters,
         unique_by_rec=carry.unique_by_rec + agg.unique_by_rec,
         amb_by_rec=carry.amb_by_rec + agg.amb_by_rec,
-        first_batch=jnp.where(fresh, batch_no, carry.first_batch),
+        first_batch=jnp.where(fresh, carry.batch_no, carry.first_batch),
         first_key=jnp.where(fresh, agg.first_key, carry.first_key),
+        batch_no=carry.batch_no + jnp.int32(1),
     )
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def fold_agg_device(carry: FoldCarry, agg: AggResult) -> FoldCarry:
+    """One batch's AggResult into the running carry (all on device)."""
+    return _fold_agg(carry, agg)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "has_mrq", "has_mkq", "has_mg", "packed"),
+    donate_argnums=(0,),
+)
+def align_fold_batch(
+    carry: FoldCarry,
+    probe_tab,
+    set_member,
+    codes,
+    qual,
+    lengths,
+    m, p, mrq, mkq, mg,
+    *,
+    k: int,
+    has_mrq: bool,
+    has_mkq: bool,
+    has_mg: bool,
+    packed: bool = False,
+) -> FoldCarry:
+    """ONE dispatch per streamed batch: align + aggregate + fold.
+
+    The dumpalign stream path (PseudoAlignment.align_stream) needs only
+    the folded carry; fusing the whole chain into a single program (a)
+    halves the per-batch dispatch count vs align_batch + fold_agg_device,
+    and (b) lets XLA dead-code-eliminate every per-read output buffer --
+    nothing row-shaped leaves the program.
+
+    ``row_valid`` is derived on device as ``lengths > 0``: the FASTQ
+    grammar requires a nonempty sequence line (reference records.py:262),
+    so zero-length rows are exactly the tail padding of the final chunk.
+    Sorted-table probes only (the hash probe must keep its standalone
+    gather dispatch -- see module docstring).
+    """
+    row_valid = lengths > jnp.int32(0)
+    res = align_batch_core(
+        probe_tab, set_member, codes, qual, lengths, m, p, mrq, mkq, mg,
+        k=k, has_mrq=has_mrq, has_mkq=has_mkq, has_mg=has_mg, packed=packed,
+    )
+    return _fold_agg(carry, aggregate_batch(res, row_valid))
 
 
 def aggregate_batch(res: BatchResult, row_valid: jnp.ndarray) -> AggResult:

@@ -75,6 +75,7 @@ def _sharded_hash_gather(table, codes, *, mesh: Mesh, k: int,
     return jax.shard_map(
         fn, mesh=mesh,
         in_specs=(P(), P("data")),
+        check_vma=False,  # pallas_call in the body has no vma annotations
         out_specs=(P("data"), P("data")),
     )(table, codes)
 
@@ -154,6 +155,7 @@ def _sharded_finish_hash(
             P("data"), P("data"), P("data"), P("data"),
             P(), P(), P(), P(), P(),
         ),
+        check_vma=False,  # pallas_call in the body has no vma annotations
         out_specs=P(),
     )(rows, bidx, stash, set_member, codes, qual, lengths, row_valid,
       m, p, mrq, mkq, mg)
@@ -194,6 +196,7 @@ def _sharded_single(
             P("data"), P("data"), P("data"), P("data"),
             P(), P(), P(), P(), P(),
         ),
+        check_vma=False,  # pallas_call in the body has no vma annotations
         out_specs=P(),
     )(probe_tab, set_member, codes, qual, lengths, row_valid,
       m, p, mrq, mkq, mg)

@@ -216,6 +216,7 @@ def align_aggregate_table_sharded(
             P("data", None), P("data", None), P("data"), P("data"),
             P(), P(), P(), P(), P(),
         ),
+        check_vma=False,  # pallas_call in the body has no vma annotations
         out_specs=P(),
     )(tab, set_member, codes, qual, lengths, row_valid,
       m, p, mrq, mkq, mg)

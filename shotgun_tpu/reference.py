@@ -80,6 +80,9 @@ class KmerReference:
             self._records = None
         self._probe_table: Optional[ProbeTable] = None
         self._set_member_dense: Optional[np.ndarray] = None
+        # method -> device probe structure; index is immutable after
+        # construction (EXTSIM runs inside __init__), so no invalidation
+        self._device_tables: dict = {}
 
     # ------------------------------------------------------------------
     # reference-parity accessors
@@ -294,6 +297,12 @@ class KmerReference:
         )
 
         method = method or os.environ.get("SHOTGUN_TPU_PROBE", "sort")
+        # cache per method: rebuilding + re-uploading the table (16 B/key
+        # -> tens of MB) on every align call costs ~0.5 s over the remote
+        # device link -- reference data is built once, aligned many times
+        cached = self._device_tables.get(method)
+        if cached is not None:
+            return cached
         if self.index.k > 31:
             if method == "hash":
                 raise ValueError(
@@ -302,20 +311,23 @@ class KmerReference:
                     f"k={self.index.k}"
                 )
             cols, sid, gc = sorted_table_host_words(self.index)
-            return SortedTableDevW(
+            tab = SortedTableDevW(
                 kws=tuple(jnp.asarray(c) for c in cols),
                 sid=jnp.asarray(sid), gc=jnp.asarray(gc),
             )
-        if method == "sort":
+        elif method == "sort":
             klo, khi, sid, gc = sorted_table_host(self.index)
-            return SortedTableDev(
+            tab = SortedTableDev(
                 klo=jnp.asarray(klo), khi=jnp.asarray(khi),
                 sid=jnp.asarray(sid), gc=jnp.asarray(gc),
             )
-        pt = self.probe_table()
-        return HashTableDev(
-            table=jnp.asarray(pt.table), stash=jnp.asarray(pt.stash)
-        )
+        else:
+            pt = self.probe_table()
+            tab = HashTableDev(
+                table=jnp.asarray(pt.table), stash=jnp.asarray(pt.stash)
+            )
+        self._device_tables[method] = tab
+        return tab
 
     def probe_table(self) -> ProbeTable:
         if self.index.k > 31:
