@@ -1,10 +1,10 @@
 // Native k-mer index builder for shotgun_tpu (k <= 31 fast path).
 //
 // Replaces the host-numpy assembly in shotgun_tpu/index/build.py for the
-// common k <= 31 case (u64-packable keys): rolling 2-bit encode with
-// N-run skipping, a stable multithreaded LSD radix sort over the packed
-// keys, group-boundary detection, CSR postings gather, and the
-// deduplicated genome-set table -- all in one pass chain, producing
+// common k <= 31 case (u64-packable keys): parallel rolling 2-bit encode
+// with N-run skipping, an MSD-partition + per-bucket comparison sort
+// over (key, recpos) pairs, parallel group-boundary detection, CSR
+// postings gather, and the deduplicated genome-set table -- producing
 // byte-identical kmer_words / first_seen / postings to the numpy path
 // (set ids are assigned in first-appearance order, a permutation of the
 // numpy path's sorted-mask order; set-id numbering is internal and
@@ -14,18 +14,31 @@
 // reference kmer.py:135-150 (k-mer -> {record -> positions}); the array
 // layout contract is KmerIndex in shotgun_tpu/index/build.py.
 //
-// Two-call protocol like the parser: stpu_build_index runs the build and
-// returns an opaque handle plus output sizes; stpu_build_fetch copies
-// into caller-allocated numpy buffers; stpu_build_free releases.
+// Sort strategy: one scatter pass over the top 16 used key bits into
+// 64K buckets, then each bucket is std::sort'ed independently (and in
+// parallel) as (key, recpos) pairs.  Lexicographic pair order IS the
+// stable order: recpos = rec << 32 | pos is strictly increasing in scan
+// order (record-major, position-ascending, N-windows never emitted), so
+// sorting by (key, recpos) reproduces exactly what a stable sort by key
+// would.  At 1M occurrences each bucket is ~16 elements (L1-resident);
+// composition-skewed genomes just make some buckets bigger, which
+// std::sort absorbs at n log n -- no correctness cliff.
+//
+// Two-call protocol like the parser: stpu_build_stage1 runs the build
+// and returns an opaque handle plus output sizes; stpu_build_stage2
+// streams into caller-allocated numpy buffers; stpu_build_free releases.
 
 #include <sys/mman.h>
 
+#include <atomic>
+#include <algorithm>
 #include <chrono>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <thread>
+#include <utility>
 #include <vector>
 
 namespace {
@@ -70,6 +83,19 @@ struct HugeAlloc {
 template <class T>
 using hvec = std::vector<T, HugeAlloc<T>>;
 
+// (key, recpos) occurrence; lexicographic order = stable-by-key order
+// (see top).  Deliberately trivially-constructible: the occurrence
+// buffers are written exactly once, and a std::pair resize would pay a
+// full zero-fill first-touch pass before the real fill.
+struct Occ {
+  uint64_t first, second;
+  Occ() {}  // uninitialized: every element is written before it is read
+  Occ(uint64_t k, uint64_t v) : first(k), second(v) {}
+  bool operator<(const Occ& o) const {
+    return first != o.first ? first < o.first : second < o.second;
+  }
+};
+
 // phase timing to stderr when STPU_BUILD_DEBUG=1
 struct PhaseTimer {
   bool on;
@@ -85,103 +111,88 @@ struct PhaseTimer {
   }
 };
 
-constexpr int kRadixBits = 16;
-constexpr int kRadixSize = 1 << kRadixBits;
+int num_threads(int64_t work) {
+  unsigned hw = std::thread::hardware_concurrency();
+  if (hw < 2 || work < (1 << 16)) return 1;
+  return (int)std::min(hw, 8u);
+}
 
-// Two-stage state: stage 1 owns the sorted occurrence arrays; stage 2
-// streams them straight into caller (numpy) buffers, so no large output
-// is ever materialized on this side -- on this host every avoided
-// first-touch + memcpy of the ~36 B/posting outputs is the difference
-// between ~5 and ~10+ Mbp/s.
+template <class F>
+void run_parallel(int nt, F&& body) {
+  if (nt <= 1) {
+    body(0);
+    return;
+  }
+  std::vector<std::thread> th;
+  th.reserve(nt - 1);
+  for (int t = 1; t < nt; ++t) th.emplace_back(body, t);
+  body(0);
+  for (auto& x : th) x.join();
+}
+
 struct BuildState {
   int64_t num_kmers = 0;   // U (known after stage 1)
   int64_t num_post = 0;    // P
   int64_t num_records = 0;
   int64_t gbytes = 0;
-  hvec<uint64_t> keys;     // sorted
-  hvec<uint64_t> recpos;   // rec << 32 | pos, sorted alongside keys
+  hvec<Occ> occ;           // sorted (key, recpos)
   std::vector<uint8_t> set_masks;  // [S, gbytes] (filled by stage 2)
   std::vector<int32_t> set_sizes;  // [S]
 };
 
-// Stable LSD radix sort of (keys, vals) pairs by key, 16-bit digits,
-// low digit first, parallel histogram + scatter over `nt` threads.
-// Only digits below `used_bits` are sorted (higher bits are zero).
-void radix_sort_u64(hvec<uint64_t>& keys, hvec<uint64_t>& vals,
-                    int used_bits, int nt) {
-  const size_t n = keys.size();
+// MSD partition by the top (up to) 16 used bits, then per-bucket
+// std::sort in parallel with dynamic bucket assignment.
+void msd_sort(hvec<Occ>& occ, int used_bits, int nt) {
+  const size_t n = occ.size();
   if (n < 2) return;
-  hvec<uint64_t> kbuf(n);
-  hvec<uint64_t> vbuf(n);
-  uint64_t* ksrc = keys.data();
-  uint64_t* vsrc = vals.data();
-  uint64_t* kdst = kbuf.data();
-  uint64_t* vdst = vbuf.data();
+  const int bbits = used_bits < 16 ? used_bits : 16;
+  const int shift = used_bits - bbits;
+  const int nb = 1 << bbits;
 
-  const int passes = (used_bits + kRadixBits - 1) / kRadixBits;
-  // per-thread slice bounds
+  hvec<Occ> buf(n);
   std::vector<size_t> cut(nt + 1);
   for (int t = 0; t <= nt; ++t) cut[t] = n * (size_t)t / (size_t)nt;
 
-  for (int pass = 0; pass < passes; ++pass) {
-    const int shift = pass * kRadixBits;
-    // per-thread histograms
-    std::vector<std::vector<uint64_t>> hist(nt,
-                                            std::vector<uint64_t>(kRadixSize));
-    auto count = [&](int t) {
-      auto& h = hist[t];
-      for (size_t i = cut[t]; i < cut[t + 1]; ++i)
-        ++h[(ksrc[i] >> shift) & (kRadixSize - 1)];
-    };
-    if (nt > 1) {
-      std::vector<std::thread> th;
-      for (int t = 0; t < nt; ++t) th.emplace_back(count, t);
-      for (auto& x : th) x.join();
-    } else {
-      count(0);
+  // parallel histogram over the bucket digit
+  std::vector<std::vector<uint64_t>> hist(nt, std::vector<uint64_t>(nb));
+  run_parallel(nt, [&](int t) {
+    auto& h = hist[t];
+    for (size_t i = cut[t]; i < cut[t + 1]; ++i)
+      ++h[(occ[i].first >> shift) & (nb - 1)];
+  });
+
+  // global offsets, thread-major within each bucket, plus bucket bounds
+  std::vector<uint64_t> bstart(nb + 1);
+  uint64_t run = 0;
+  for (int b = 0; b < nb; ++b) {
+    bstart[b] = run;
+    for (int t = 0; t < nt; ++t) {
+      uint64_t c = hist[t][b];
+      hist[t][b] = run;
+      run += c;
     }
-    // single-bucket pass -> nothing to move
-    bool trivial = false;
-    {
-      uint64_t tot0 = 0;
-      uint64_t d0 = (ksrc[0] >> shift) & (kRadixSize - 1);
-      for (int t = 0; t < nt; ++t) tot0 += hist[t][d0];
-      trivial = (tot0 == (uint64_t)n);
-    }
-    if (trivial) continue;
-    // global exclusive offsets, thread-major within each bucket
-    // (stability: thread t's elements of bucket b land after thread t-1's)
-    uint64_t run = 0;
-    for (int b = 0; b < kRadixSize; ++b) {
-      for (int t = 0; t < nt; ++t) {
-        uint64_t c = hist[t][b];
-        hist[t][b] = run;
-        run += c;
-      }
-    }
-    auto scatter = [&](int t) {
-      auto& off = hist[t];
-      for (size_t i = cut[t]; i < cut[t + 1]; ++i) {
-        uint64_t key = ksrc[i];
-        uint64_t o = off[(key >> shift) & (kRadixSize - 1)]++;
-        kdst[o] = key;
-        vdst[o] = vsrc[i];
-      }
-    };
-    if (nt > 1) {
-      std::vector<std::thread> th;
-      for (int t = 0; t < nt; ++t) th.emplace_back(scatter, t);
-      for (auto& x : th) x.join();
-    } else {
-      scatter(0);
-    }
-    std::swap(ksrc, kdst);
-    std::swap(vsrc, vdst);
   }
-  if (ksrc != keys.data()) {
-    keys.swap(kbuf);
-    vals.swap(vbuf);
-  }
+  bstart[nb] = run;
+
+  // parallel scatter into buckets
+  run_parallel(nt, [&](int t) {
+    auto& off = hist[t];
+    for (size_t i = cut[t]; i < cut[t + 1]; ++i)
+      buf[off[(occ[i].first >> shift) & (nb - 1)]++] = occ[i];
+  });
+
+  // parallel per-bucket sort (dynamic assignment; bucket sizes vary)
+  std::atomic<int> next{0};
+  run_parallel(nt, [&](int) {
+    for (;;) {
+      int b = next.fetch_add(1, std::memory_order_relaxed);
+      if (b >= nb) break;
+      Occ* lo = buf.data() + bstart[b];
+      Occ* hi = buf.data() + bstart[b + 1];
+      if (hi - lo > 1) std::sort(lo, hi);
+    }
+  });
+  occ.swap(buf);
 }
 
 // Open-addressing dedupe table for set masks (mask bytes -> set id).
@@ -263,77 +274,101 @@ extern "C" void* stpu_build_stage1(const uint8_t* codes, int64_t n_bases,
   // reference kmer.py:84-94 extract_kmers_from_genome + the N skip at
   // kmer.py:145; key layout: first base most significant 2-bit group
   // (matches index/build.py rolling_encode_words little-word columns).
+  //
+  // Parallel over window-range chunks: chunk c of record r emits the
+  // windows at positions [wstart, wend) after a (k-1)-base halo warm-up,
+  // writing at a precomputed dense offset (exact when the chunk has no
+  // N; chunks that skipped windows leave gaps that one sequential
+  // compaction pass closes, preserving scan order).
+  int64_t total_max = 0;
+  struct EncChunk {
+    int32_t rec;
+    int64_t wstart, wend;  // window-position range within the record
+    int64_t out_base;      // dense output offset assuming no skips
+    int64_t count;         // actual emitted (<= wend - wstart)
+  };
+  std::vector<EncChunk> chunks;
   {
-    int64_t total = 0;
+    const int64_t chunk_windows = 4 << 20;
     for (int64_t r = 0; r < n_records; ++r) {
       int64_t len = offsets[r + 1] - offsets[r];
-      if (len >= k) total += len - k + 1;
-    }
-    st->keys.reserve(total);
-    st->recpos.reserve(total);
-  }
-  const uint64_t mask =
-      (k >= 32) ? ~0ull : ((1ull << (2 * (unsigned)k)) - 1ull);
-  for (int64_t r = 0; r < n_records; ++r) {
-    const uint8_t* p = codes + offsets[r];
-    const int64_t len = offsets[r + 1] - offsets[r];
-    const uint64_t rbits = (uint64_t)r << 32;
-    uint64_t key = 0;
-    int64_t run = 0;
-    for (int64_t i = 0; i < len; ++i) {
-      uint8_t c = p[i];
-      if (c >= 4) {  // N (or invalid) breaks every window containing it
-        run = 0;
-        key = 0;
-        continue;
+      int64_t nwin = len >= k ? len - k + 1 : 0;
+      for (int64_t w = 0; w < nwin; w += chunk_windows) {
+        int64_t we = std::min(w + chunk_windows, nwin);
+        chunks.push_back({(int32_t)r, w, we, total_max + w, 0});
       }
-      key = ((key << 2) | c) & mask;
-      if (++run >= k) {
-        st->keys.push_back(key);
-        st->recpos.push_back(rbits | (uint64_t)(uint32_t)(i - k + 1));
-      }
+      total_max += nwin;
     }
   }
-  pt.mark("encode");
-  const int64_t P = (int64_t)st->keys.size();
-  if (P >= (int64_t)UINT32_MAX) {
+  if (total_max >= (int64_t)UINT32_MAX) {
     delete st;
     return nullptr;
   }
+  st->occ.resize(total_max);
+  const uint64_t mask =
+      (k >= 32) ? ~0ull : ((1ull << (2 * (unsigned)k)) - 1ull);
+  {
+    int nt = num_threads(total_max);
+    std::atomic<size_t> next{0};
+    run_parallel(nt, [&](int) {
+      for (;;) {
+        size_t ci = next.fetch_add(1, std::memory_order_relaxed);
+        if (ci >= chunks.size()) break;
+        EncChunk& ch = chunks[ci];
+        const uint8_t* p = codes + offsets[ch.rec];
+        const int64_t len = offsets[ch.rec + 1] - offsets[ch.rec];
+        const uint64_t rbits = (uint64_t)(uint32_t)ch.rec << 32;
+        const int64_t iend = std::min(len, ch.wend + k - 1);
+        Occ* out = st->occ.data() + ch.out_base;
+        uint64_t key = 0;
+        int64_t run = 0;
+        for (int64_t i = ch.wstart; i < iend; ++i) {
+          uint8_t c = p[i];
+          if (c >= 4) {  // N (or invalid) breaks every window containing it
+            run = 0;
+            key = 0;
+            continue;
+          }
+          key = ((key << 2) | c) & mask;
+          if (++run >= k)
+            *out++ = {key, rbits | (uint64_t)(uint32_t)(i - k + 1)};
+        }
+        ch.count = out - (st->occ.data() + ch.out_base);
+      }
+    });
+    // compaction (no-op when nothing was skipped)
+    int64_t dst = 0;
+    bool moved = false;
+    for (auto& ch : chunks) {
+      if (moved && ch.count)
+        std::memmove(st->occ.data() + dst, st->occ.data() + ch.out_base,
+                     (size_t)ch.count * sizeof(Occ));
+      dst += ch.count;
+      if (ch.count != ch.wend - ch.wstart) moved = true;
+    }
+    st->occ.resize(dst);
+  }
+  pt.mark("encode");
+  const int64_t P = (int64_t)st->occ.size();
   st->num_post = P;
 
   if (P) {
-    // ---- phase 2: stable radix sort by key, (rec, pos) payload ----
-    // Carrying recpos through the scatter (instead of a row index) makes
-    // the postings fill a sequential read in stage 2 -- the row-index
-    // variant paid one random 8-byte read per posting, the dominant cost
-    // at 10 Mbp scale.  first_seen uses recpos directly: (rec << 32 |
-    // pos) is order-isomorphic to the scan order (record-major,
-    // position-ascending, N-windows never emitted), and only the ORDER
-    // of first_seen is observable (KmerIndex.display_order is argsort).
-    unsigned hw = std::thread::hardware_concurrency();
-    int nt = hw >= 2 && P > (1 << 16) ? 2 : 1;
-    radix_sort_u64(st->keys, st->recpos, 2 * (int)k, nt);
+    // ---- phase 2: MSD partition + parallel per-bucket sort ----
+    msd_sort(st->occ, 2 * (int)k, num_threads(P));
     pt.mark("sort");
 
     // ---- phase 3: count groups (pre-sizes every output exactly) ----
+    int nt = num_threads(P);
     int64_t U = 0;
-    const uint64_t* kk = st->keys.data();
+    const Occ* oc = st->occ.data();
     std::vector<int64_t> part(nt, 0);
-    auto countr = [&](int t) {
+    run_parallel(nt, [&](int t) {
       int64_t lo = P * (int64_t)t / nt, hi = P * (int64_t)(t + 1) / nt;
       int64_t c = 0;
       for (int64_t i = lo; i < hi; ++i)
-        c += (i == 0) || (kk[i] != kk[i - 1]);
+        c += (i == 0) || (oc[i].first != oc[i - 1].first);
       part[t] = c;
-    };
-    if (nt > 1) {
-      std::vector<std::thread> th;
-      for (int t = 0; t < nt; ++t) th.emplace_back(countr, t);
-      for (auto& x : th) x.join();
-    } else {
-      countr(0);
-    }
+    });
     for (int t = 0; t < nt; ++t) U += part[t];
     st->num_kmers = U;
     pt.mark("count");
@@ -349,6 +384,14 @@ extern "C" void* stpu_build_stage1(const uint8_t* codes, int64_t n_bases,
 // (kmer_words [U,2] u32, first_seen [U] i64, post_offsets [U+1] i64,
 // post_record [P] i32, post_pos [P] i64, set_id [U] i32) and build the
 // set table.  Returns S (number of distinct genome sets).
+//
+// Parallel layout: slice the postings at group boundaries; each thread
+// fills its disjoint ranges of kmer_words / first_seen / post_offsets
+// and a per-group descriptor (singleton record id, or -1 for a
+// multi-record group).  The postings split runs concurrently.  Set-id
+// interning stays a single sequential pass in u order (first-appearance
+// numbering), consuming the descriptors; multi-record groups (the rare
+// case) re-derive their mask from the group's postings.
 extern "C" int64_t stpu_build_stage2(void* handle, uint32_t* kmer_words,
                                      int64_t* first_seen,
                                      int64_t* post_offsets,
@@ -363,71 +406,99 @@ extern "C" int64_t stpu_build_stage2(void* handle, uint32_t* kmer_words,
     post_offsets[0] = 0;
     return 0;
   }
-  st->set_masks.reserve(4096 * gbytes);
-  MaskTable table(gbytes, &st->set_masks);
-  // singleton sets ({record}) bypass the hash table
-  std::vector<int32_t> singleton_sid(
-      st->num_records > 0 ? st->num_records : 1, -1);
-  std::vector<uint8_t> scratch(gbytes);
+  const Occ* oc = st->occ.data();
+  const int nt = num_threads(P);
 
-  const uint64_t* kk = st->keys.data();
-  const uint64_t* rp = st->recpos.data();
-  // thread A: postings are a pure elementwise split of sorted recpos
-  std::thread postings_thread([&] {
-    for (int64_t i = 0; i < P; ++i) {
-      uint64_t v = rp[i];
+  // slice bounds aligned to group starts
+  std::vector<int64_t> gs(nt + 1);
+  gs[0] = 0;
+  gs[nt] = P;
+  for (int t = 1; t < nt; ++t) {
+    int64_t i = std::max(P * (int64_t)t / nt, gs[t - 1]);
+    while (i < P && i > 0 && oc[i].first == oc[i - 1].first) ++i;
+    gs[t] = i;
+  }
+  // group count per slice -> output base per slice
+  std::vector<int64_t> ucnt(nt, 0);
+  run_parallel(nt, [&](int t) {
+    int64_t c = 0;
+    for (int64_t i = gs[t]; i < gs[t + 1]; ++i)
+      c += (i == 0) || (oc[i].first != oc[i - 1].first);
+    ucnt[t] = c;
+  });
+  std::vector<int64_t> ubase(nt + 1, 0);
+  for (int t = 0; t < nt; ++t) ubase[t + 1] = ubase[t] + ucnt[t];
+
+  // desc[u]: singleton record id, or -1 for multi-record groups
+  hvec<int64_t> desc(U);
+
+  // fill pass: groups (parallel slices) + postings split (chunked in)
+  run_parallel(nt, [&](int t) {
+    // postings: pure elementwise split of this slice of sorted recpos
+    for (int64_t i = gs[t]; i < gs[t + 1]; ++i) {
+      uint64_t v = oc[i].second;
       post_record[i] = (int32_t)(v >> 32);
       post_pos[i] = (int64_t)(uint32_t)v;
     }
+    int64_t u = ubase[t];
+    for (int64_t gstart = gs[t]; gstart < gs[t + 1];) {
+      const uint64_t key = oc[gstart].first;
+      const int32_t first_rec = (int32_t)(oc[gstart].second >> 32);
+      bool single = true;
+      int64_t i = gstart + 1;
+      for (; i < P && oc[i].first == key; ++i)
+        if ((int32_t)(oc[i].second >> 32) != first_rec) single = false;
+      kmer_words[2 * u] = (uint32_t)(key & 0xFFFFFFFFu);
+      kmer_words[2 * u + 1] = (uint32_t)(key >> 32);
+      first_seen[u] = (int64_t)oc[gstart].second;
+      post_offsets[u] = gstart;
+      desc[u] = single ? (int64_t)first_rec : -1;
+      ++u;
+      gstart = i;
+    }
   });
-  // main thread: group boundaries + set table, reading keys/recpos only
-  // (distinct records of a group are adjacent-unique: the stable sort
-  // keeps scan order and occurrences are generated record-major)
-  int64_t u = 0;
-  for (int64_t gstart = 0; gstart < P;) {
-    const uint64_t key = kk[gstart];
-    int32_t first_rec = (int32_t)(rp[gstart] >> 32);
-    bool single = true;
-    int64_t i = gstart + 1;
-    for (; i < P && kk[i] == key; ++i)
-      if ((int32_t)(rp[i] >> 32) != first_rec) single = false;
-    const int64_t gend = i;
-    kmer_words[2 * u] = (uint32_t)(key & 0xFFFFFFFFu);
-    kmer_words[2 * u + 1] = (uint32_t)(key >> 32);
-    first_seen[u] = (int64_t)rp[gstart];
-    post_offsets[u] = gstart;
+  post_offsets[U] = P;
+  pt.mark("groups");
+
+  // sequential intern pass in u order (first-appearance set numbering;
+  // distinct records of a group are adjacent-unique: the sort is stable
+  // in scan order and occurrences are generated record-major)
+  st->set_masks.reserve(4096 * gbytes);
+  MaskTable table(gbytes, &st->set_masks);
+  std::vector<int32_t> singleton_sid(
+      st->num_records > 0 ? st->num_records : 1, -1);
+  std::vector<uint8_t> scratch(gbytes);
+  for (int64_t u = 0; u < U; ++u) {
+    int64_t d = desc[u];
     int32_t sid;
-    if (single) {
-      sid = singleton_sid[first_rec];
+    if (d >= 0) {
+      sid = singleton_sid[d];
       if (sid < 0) {
         std::memset(scratch.data(), 0, (size_t)gbytes);
-        scratch[first_rec >> 3] = (uint8_t)(1u << (first_rec & 7));
+        scratch[d >> 3] = (uint8_t)(1u << (d & 7));
         sid = table.intern(scratch.data());
-        singleton_sid[first_rec] = sid;
+        singleton_sid[d] = sid;
         st->set_sizes.push_back(1);
       }
     } else {
+      const int64_t gend = u + 1 < U ? post_offsets[u + 1] : P;
       std::memset(scratch.data(), 0, (size_t)gbytes);
-      int32_t prev = -1, d = 0;
-      for (int64_t j = gstart; j < gend; ++j) {
-        int32_t rr = (int32_t)(rp[j] >> 32);
+      int32_t prev = -1, dcount = 0;
+      for (int64_t j = post_offsets[u]; j < gend; ++j) {
+        int32_t rr = post_record[j];
         if (rr != prev) {
           scratch[rr >> 3] |= (uint8_t)(1u << (rr & 7));
           prev = rr;
-          ++d;
+          ++dcount;
         }
       }
       size_t before = table.mask_count;
       sid = table.intern(scratch.data());
-      if (table.mask_count > before) st->set_sizes.push_back(d);
+      if (table.mask_count > before) st->set_sizes.push_back(dcount);
     }
     set_id[u] = sid;
-    ++u;
-    gstart = gend;
   }
-  postings_thread.join();
-  post_offsets[U] = P;
-  pt.mark("groups");
+  pt.mark("intern");
   return (int64_t)st->set_sizes.size();
 }
 

