@@ -145,7 +145,12 @@ struct BuildState {
 void msd_sort(hvec<Occ>& occ, int used_bits, int nt) {
   const size_t n = occ.size();
   if (n < 2) return;
-  const int bbits = used_bits < 16 ? used_bits : 16;
+  // bucket-count heuristic: ~64-256 elements per bucket keeps each
+  // std::sort L1-resident while the scatter touches few enough open
+  // bucket streams to stay TLB/cache-friendly; clamp to the used bits
+  int want = 8;
+  while ((n >> want) > 128 && want < 16) ++want;
+  const int bbits = used_bits < want ? used_bits : want;
   const int shift = used_bits - bbits;
   const int nb = 1 << bbits;
 
