@@ -182,22 +182,31 @@ def main():
         "compile_first_batch_s": round(compile_s, 2),
     }
 
+    def emit():
+        # the harness takes the LAST stdout line; print + flush NOW so a
+        # kill during any later optional section cannot lose the number
+        # (round 2 lost its metric exactly this way, round 3 nearly did
+        # to a harness timeout landing inside the warm-compile probe)
+        print(json.dumps({
+            "metric": "pseudo_align_reads_per_sec_k31",
+            "value": round(reads_per_s, 1),
+            "unit": "reads/s",
+            "vs_baseline": round(reads_per_s / BASELINE_READS_PER_SEC, 2),
+            "extra": extra,
+        }), flush=True)
+
+    emit()
+
     # Optional risky sections -- each runs in a SUBPROCESS with captured
-    # output so a kernel/toolchain failure cannot corrupt this process or
-    # the headline line.
+    # output so a kernel/toolchain failure cannot corrupt this process.
+    # Each re-emits the headline line (with the extras gathered so far)
+    # as the new last stdout line.
     if os.environ.get("BENCH_PALLAS_AB", "0") == "1":
         extra["pallas_ab"] = _run_sub("pallas_ab", timeout=900)
+        emit()
     if os.environ.get("BENCH_WARM", "1") == "1":
         extra["warm_compile"] = _warm_compile_probe()
-
-    # THE headline line: last line of stdout, flushed immediately.
-    print(json.dumps({
-        "metric": "pseudo_align_reads_per_sec_k31",
-        "value": round(reads_per_s, 1),
-        "unit": "reads/s",
-        "vs_baseline": round(reads_per_s / BASELINE_READS_PER_SEC, 2),
-        "extra": extra,
-    }), flush=True)
+        emit()
 
 
 def _run_sub(mode: str, timeout: int, env_extra=None):
