@@ -541,6 +541,65 @@ def align_fold_batch(
     return _fold_agg(carry, aggregate_batch(res, row_valid))
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "has_mrq", "has_mkq", "has_mg", "packed"),
+    donate_argnums=(0,),
+)
+def align_fold_superbatch(
+    carry: FoldCarry,
+    probe_tab,
+    set_member,
+    codes,     # uint8 [S, B, C] (2-bit packed when packed=True)
+    qual,      # uint8 [S, B, L] scanned per sub-batch, or [B, 1] shared dummy
+    lengths,   # int32 [S, B]
+    m, p, mrq, mkq, mg,
+    *,
+    k: int,
+    has_mrq: bool,
+    has_mkq: bool,
+    has_mg: bool,
+    packed: bool = False,
+) -> FoldCarry:
+    """S streamed sub-batches in ONE dispatch: ``lax.scan`` of the fused
+    align+aggregate+fold body over the leading axis.
+
+    Motivation is the remote-dispatch runtime, where every host->device
+    transfer and every program dispatch is an RPC round trip: shipping S
+    sub-batches as one [S, B, ...] transfer + one dispatch divides the
+    per-batch RPC count by S while the on-device batch shape (and thus
+    the tuned per-batch executable speed) stays B.  Tail padding rows are
+    zero-length and fall out of ``row_valid`` exactly as in
+    ``align_fold_batch``; a fully padded trailing sub-batch still bumps
+    ``batch_no``, which is harmless (order keys only consume batch_no of
+    batches that contained live reads).
+
+    ``qual`` may be the shared [B, 1] device-resident dummy when no
+    quality gate consumes it (rank 2 -> closed over as a scan constant
+    instead of scanned, so the host never ships a per-superbatch plane).
+    """
+    scan_qual = qual.ndim == 3
+
+    def body(c, xs):
+        if scan_qual:
+            codes_b, qual_b, len_b = xs
+        else:
+            codes_b, len_b = xs
+            qual_b = qual
+        row_valid = len_b > jnp.int32(0)
+        res = align_batch_core(
+            probe_tab, set_member, codes_b, qual_b, len_b,
+            m, p, mrq, mkq, mg,
+            k=k, has_mrq=has_mrq, has_mkq=has_mkq, has_mg=has_mg,
+            packed=packed,
+        )
+        return _fold_agg(c, aggregate_batch(res, row_valid)), None
+
+    xs = (codes, qual, lengths) if scan_qual else (codes, lengths)
+    carry, _ = jax.lax.scan(body, carry, xs)
+    return carry
+
+
 def aggregate_batch(res: BatchResult, row_valid: jnp.ndarray) -> AggResult:
     """Fold per-read outputs into per-record counters + order keys.
 

@@ -251,3 +251,40 @@ def test_streaming_dumpalign_matches_container_path(tmp_path):
         assert stream is not None
         a2.align_stream(stream, 1, 1, batch_size=64, **filters)
         assert json.dumps(a1.get_summary()) == json.dumps(a2.get_summary())
+
+
+def test_streaming_superbatch_matches_per_batch(tmp_path, monkeypatch):
+    """align_stream with superbatching (one [S, b, ...] transfer + one
+    lax.scan dispatch per S sub-batches) is byte-identical to the
+    per-batch fold path, including quality gates, lazy validation, and a
+    ragged tail that zero-pads both sub-batch rows and whole sub-batches."""
+    import json
+
+    import numpy as np
+
+    from shotgun_tpu.aligner import PseudoAlignment
+    from shotgun_tpu.index.build import build_index
+    from shotgun_tpu.io.data_file import open_fastq_stream
+    from shotgun_tpu.reference import KmerReference
+    from shotgun_tpu.utils.synth import synth_genomes, synth_reads, to_fastq
+
+    rng = np.random.default_rng(11)
+    g = synth_genomes(rng, 4, 3000)
+    reads = synth_reads(rng, g, 500, 80)  # 500 % (64*4) != 0 -> ragged tail
+    fq = tmp_path / "reads.fq"
+    fq.write_text(to_fastq(reads))
+    k = 15
+    ref = KmerReference(k, _index=build_index(g, k))
+
+    for filters in ({}, dict(min_read_quality=59, min_kmer_quality=60,
+                             max_genomes=2)):
+        outs = []
+        for sb in ("1", "4"):
+            monkeypatch.setenv("SHOTGUN_TPU_SUPERBATCH", sb)
+            for lazy in (False, True):
+                a = PseudoAlignment(ref)
+                stream = open_fastq_stream(str(fq), lazy=lazy)
+                assert stream is not None
+                a.align_stream(stream, 1, 1, batch_size=64, **filters)
+                outs.append(json.dumps(a.get_summary(), indent=4))
+        assert all(o == outs[0] for o in outs[1:])
