@@ -439,20 +439,24 @@ extern "C" int64_t stpu_build_stage2(void* handle, uint32_t* kmer_words,
 
   // fill pass: groups (parallel slices) + postings split (chunked in)
   run_parallel(nt, [&](int t) {
-    // postings: pure elementwise split of this slice of sorted recpos
-    for (int64_t i = gs[t]; i < gs[t + 1]; ++i) {
-      uint64_t v = oc[i].second;
-      post_record[i] = (int32_t)(v >> 32);
-      post_pos[i] = (int64_t)(uint32_t)v;
-    }
+    // one fused pass per slice: postings split + group walk (group
+    // boundaries never span slices -- gs is aligned to group starts).
+    // Reading each Occ exactly once matters on this bandwidth-bound
+    // host: the separate split + walk loops streamed the 16-byte
+    // occurrences twice
     int64_t u = ubase[t];
     for (int64_t gstart = gs[t]; gstart < gs[t + 1];) {
       const uint64_t key = oc[gstart].first;
       const int32_t first_rec = (int32_t)(oc[gstart].second >> 32);
       bool single = true;
-      int64_t i = gstart + 1;
-      for (; i < P && oc[i].first == key; ++i)
-        if ((int32_t)(oc[i].second >> 32) != first_rec) single = false;
+      int64_t i = gstart;
+      for (; i < P && oc[i].first == key; ++i) {
+        const uint64_t v = oc[i].second;
+        const int32_t rr = (int32_t)(v >> 32);
+        post_record[i] = rr;
+        post_pos[i] = (int64_t)(uint32_t)v;
+        if (rr != first_rec) single = false;
+      }
       kmer_words[2 * u] = (uint32_t)(key & 0xFFFFFFFFu);
       kmer_words[2 * u + 1] = (uint32_t)(key >> 32);
       first_seen[u] = (int64_t)oc[gstart].second;

@@ -257,21 +257,78 @@ extern "C" int stpu_fastq_fill(const uint8_t* d, int64_t n, uint8_t* codes,
 // ids are not materialized (the scan already enforced uniqueness); the
 // caller uses the scan's n_records/max_len for shapes.
 
+// The stream parses incrementally from a byte cursor -- no up-front
+// split_lines pass, no Line vector, no ASCII pre-scan.  The whole-input
+// contracts stay enforced by stpu_fastq_scan (run before, or -- in the
+// lazy-overlap path -- concurrently on another thread, in which case any
+// validation failure discards the streamed results); on scanned-valid
+// input the cursor walk visits exactly the scan's 4-line groups.  On
+// not-yet-validated input the walk is overrun-safe and terminates (the
+// cursor is strictly monotone), which is all the lazy path needs.
 struct FastqStream {
   const uint8_t* d;
   int64_t n;
-  std::vector<Line> L;
-  size_t i;  // current line index
+  int64_t pos;  // byte cursor (start of the next unread line)
 };
 
-extern "C" void* stpu_fastq_stream_open(const uint8_t* d, int64_t n) {
-  auto* s = new FastqStream{d, n, {}, 0};
-  if (!split_lines(d, n, &s->L)) {
-    delete s;
-    return nullptr;
+// Advance *pos past one line; [*s, *e) is the content span (\r?\n
+// excluded).  Returns false at end of input.
+inline bool next_line(const uint8_t* d, int64_t n, int64_t* pos, int64_t* s,
+                      int64_t* e) {
+  if (*pos >= n) return false;
+  *s = *pos;
+  const void* nl = std::memchr(d + *pos, '\n', (size_t)(n - *pos));
+  int64_t end, raw;
+  if (nl) {
+    raw = (const uint8_t*)nl - d + 1;
+    end = raw - 1;
+    if (end > *s && d[end - 1] == '\r') --end;
+  } else {
+    raw = end = n;
   }
-  return s;
+  *e = end;
+  *pos = raw;
+  return true;
 }
+
+extern "C" void* stpu_fastq_stream_open(const uint8_t* d, int64_t n) {
+  return new FastqStream{d, n, 0};
+}
+
+namespace {
+
+// Pull the next 4-line record group starting at the cursor.  Mirrors the
+// scan's resync rule cheaply: a line that does not open a group ('@'
+// head + '+' third line) is skipped and scanning resumes at the next
+// line.  Full per-character class validation is NOT repeated here -- the
+// scan owns it; on scanned-valid input every line opens a group exactly
+// where the scan matched one.
+inline bool next_group(const uint8_t* d, int64_t n, int64_t* pos, Line* seq,
+                       Line* qual) {
+  int64_t l0s, l0e, ls, le;
+  while (next_line(d, n, pos, &l0s, &l0e)) {
+    if (l0e <= l0s || d[l0s] != '@') continue;
+    const int64_t resync = *pos;  // next line after the '@' head
+    int64_t s1, e1, s2, e2, s3, e3;
+    if (!next_line(d, n, pos, &s1, &e1) || !next_line(d, n, pos, &s2, &e2) ||
+        !next_line(d, n, pos, &s3, &e3)) {
+      *pos = n;
+      return false;
+    }
+    if (e2 <= s2 || d[s2] != '+') {
+      *pos = resync;
+      continue;
+    }
+    seq->start = s1;
+    seq->end = e1;
+    qual->start = s3;
+    qual->end = e3;
+    return true;
+  }
+  return false;
+}
+
+}  // namespace
 
 // Fill up to max_records records into row-major [max_records, lmax] buffers.
 // Returns the number of records written (0 at end of input).
@@ -280,22 +337,18 @@ extern "C" int64_t stpu_fastq_stream_next(void* handle, int64_t max_records,
                                           int32_t* lengths, int64_t lmax) {
   auto* s = (FastqStream*)handle;
   const uint8_t* d = s->d;
+  Line ls, lq;
   int64_t rec = 0;
-  while (rec < max_records && s->i < s->L.size()) {
-    if (fastq_group_ok(d, s->n, s->L, s->i)) {
-      const Line& ls = s->L[s->i + 1];
-      int64_t sl = ls.end - ls.start;
-      lengths[rec] = (int32_t)sl;
-      uint8_t* crow = codes + rec * lmax;
-      for (int64_t j = 0; j < sl; ++j) crow[j] = T.code[d[ls.start + j]];
-      const Line& lq = s->L[s->i + 3];
-      std::memcpy(qual + rec * lmax, d + lq.start,
-                  (size_t)(lq.end - lq.start));
-      ++rec;
-      s->i += 4;
-    } else {
-      ++s->i;
-    }
+  while (rec < max_records && next_group(d, s->n, &s->pos, &ls, &lq)) {
+    int64_t sl = ls.end - ls.start;
+    int64_t ql = lq.end - lq.start;
+    if (sl > lmax) sl = lmax;  // scanned-valid input never truncates
+    if (ql > lmax) ql = lmax;
+    lengths[rec] = (int32_t)sl;
+    uint8_t* crow = codes + rec * lmax;
+    for (int64_t j = 0; j < sl; ++j) crow[j] = T.code[d[ls.start + j]];
+    std::memcpy(qual + rec * lmax, d + lq.start, (size_t)ql);
+    ++rec;
   }
   return rec;
 }
@@ -317,38 +370,30 @@ extern "C" int64_t stpu_fastq_stream_next_packed(
   auto* s = (FastqStream*)handle;
   const uint8_t* d = s->d;
   const int64_t stride = lmax / 4;
+  Line ls, lq;
   int64_t rec = 0;
-  while (rec < max_records && s->i < s->L.size()) {
-    if (fastq_group_ok(d, s->n, s->L, s->i)) {
-      const Line& ls = s->L[s->i + 1];
-      int64_t sl = ls.end - ls.start;
-      int64_t ql = s->L[s->i + 3].end - s->L[s->i + 3].start;
-      if (sl > lmax || ql > lmax) return -1;
-      lengths[rec] = (int32_t)sl;
-      uint8_t* crow = codes_packed + rec * stride;
-      const uint8_t* src = d + ls.start;
-      int64_t j = 0;
-      for (; j + 4 <= sl; j += 4) {
-        crow[j >> 2] = (uint8_t)(T.code[src[j]] | (T.code[src[j + 1]] << 2) |
-                                 (T.code[src[j + 2]] << 4) |
-                                 (T.code[src[j + 3]] << 6));
-      }
-      if (j < sl) {
-        uint8_t acc = 0;
-        for (int64_t t = 0; j + t < sl; ++t)
-          acc |= (uint8_t)(T.code[src[j + t]] << (2 * t));
-        crow[j >> 2] = acc;
-      }
-      if (qual) {
-        const Line& lq = s->L[s->i + 3];
-        std::memcpy(qual + rec * lmax, d + lq.start,
-                    (size_t)(lq.end - lq.start));
-      }
-      ++rec;
-      s->i += 4;
-    } else {
-      ++s->i;
+  while (rec < max_records && next_group(d, s->n, &s->pos, &ls, &lq)) {
+    int64_t sl = ls.end - ls.start;
+    int64_t ql = lq.end - lq.start;
+    if (sl > lmax || ql > lmax) return -1;
+    lengths[rec] = (int32_t)sl;
+    uint8_t* crow = codes_packed + rec * stride;
+    const uint8_t* src = d + ls.start;
+    int64_t j = 0;
+    for (; j + 4 <= sl; j += 4) {
+      crow[j >> 2] = (uint8_t)(T.code[src[j]] | (T.code[src[j + 1]] << 2) |
+                               (T.code[src[j + 2]] << 4) |
+                               (T.code[src[j + 3]] << 6));
     }
+    if (j < sl) {
+      uint8_t acc = 0;
+      for (int64_t t = 0; j + t < sl; ++t)
+        acc |= (uint8_t)(T.code[src[j + t]] << (2 * t));
+      crow[j >> 2] = acc;
+    }
+    if (qual)
+      std::memcpy(qual + rec * lmax, d + lq.start, (size_t)ql);
+    ++rec;
   }
   return rec;
 }
