@@ -39,31 +39,62 @@ def _prefetch_iter(it, depth: int = 2):
     bounds the number of filled-but-unconsumed chunks (each chunk is a
     fresh buffer, so in-flight chunks are never overwritten).  Exceptions
     from the iterator (e.g. LmaxExceeded from an overrun-safe lazy fill)
-    re-raise at the consumer's next pull."""
+    re-raise at the consumer's next pull.
+
+    If the consumer abandons the loop (e.g. a device error outside this
+    iterator), the generator's ``finally`` sets a cancel flag and drains
+    the queue so the producer's bounded ``put`` can never block forever,
+    then closes the source iterator to release its native stream handle
+    (ADVICE.md r3 #2)."""
     import queue
     import threading
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     done = object()
     holder: List[BaseException] = []
+    cancelled = threading.Event()
+
+    def cancellable_put(item) -> bool:
+        while not cancelled.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def run():
         try:
             for item in it:
-                q.put(item)
+                if not cancellable_put(item):
+                    return
         except BaseException as exc:  # re-raised on the consumer side
             holder.append(exc)
         finally:
-            q.put(done)
+            cancellable_put(done)
 
-    threading.Thread(target=run, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is done:
-            if holder:
-                raise holder[0]
-            return
-        yield item
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is done:
+                if holder:
+                    raise holder[0]
+                return
+            yield item
+    finally:
+        cancelled.set()
+        while not q.empty():
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
+        close = getattr(it, "close", None)
+        if close is not None:
+            t.join(timeout=5.0)
+            if not t.is_alive():
+                close()
 
 
 class NotValidatingUniqueMapping(Exception):
@@ -632,8 +663,21 @@ class PseudoAlignment:
         # and ship them as ONE [S, b, ...] transfer + ONE lax.scan dispatch
         # -- divides the per-batch RPC count by S on remote-dispatch
         # runtimes while the on-device batch shape stays b.  S=1 disables.
-        sb = max(int(os.environ.get("SHOTGUN_TPU_SUPERBATCH", "2")), 1) \
+        # Default 8: the stream path is RPC-latency-bound on the tunneled
+        # runtime (r4 measurement: S=2 217k, S=4 408k, S=8 602k reads/s
+        # device-side at B=16384); past ~8 the single blob stops
+        # overlapping fill with compute and regresses.
+        try:
+            sb_env = int(os.environ.get("SHOTGUN_TPU_SUPERBATCH", "8"))
+        except ValueError:
+            sb_env = 8  # malformed env value: fall back (ADVICE.md r3 #5)
+        sb = max(sb_env, 1) \
             if fused and hasattr(stream, "chunks_packed") else 1
+        if sb > 1 and hasattr(stream, "est_records"):
+            # small inputs: don't pad (and compile) an S-wide scan the
+            # file can't fill -- cap S at the estimated chunk count
+            est_chunks = -(-stream.est_records() // b)
+            sb = max(min(sb, est_chunks), 1)
 
         # lazy-scan overlap: the whole-input validation scan runs on a
         # worker thread (the ctypes call releases the GIL) concurrently

@@ -206,6 +206,16 @@ class FASTAQStream:
             self.num_records = res.n_records
             self.max_len = res.max_len
 
+    def est_records(self) -> int:
+        """Record-count estimate for pipeline sizing: exact after
+        validation; before it, a byte-budget guess from the first
+        record's line length (a FASTQ record is ~2*L sequence/quality
+        bytes plus header/separator overhead)."""
+        if self.num_records is not None:
+            return self.num_records
+        per_record = 2 * max(self.max_len, 1) + 36
+        return max(len(self._raw) // per_record, 1)
+
     def chunks(self, chunk_records: int, lmax: int):
         """Yield (codes, qual, lengths, n_filled) with row stride ``lmax``
         (must be >= ``self.max_len``); fresh zeroed arrays per chunk."""

@@ -1,4 +1,4 @@
-"""Sort-merge k-mer probe v2: gather-free lookup + in-sort dedupe.
+"""Sort-merge k-mer probe v2/v3: gather-free lookup + in-sort dedupe.
 
 Replaces ops/probe_sort.py's associative_scan payload fill (which compiles
 an enormous HLO) with plain ``cummax`` carries, and folds the per-read
@@ -14,10 +14,10 @@ The probe is one ``lax.sort`` join:
      original (read, window) order;
   3. ``cummax`` scans recover, per query, whether its run contains a table
      row and that row's payload: each table row carries
-     ``(rank << Pb) | payload_chunk`` words -- the cummax over sorted
-     order always selects the latest table row, whose low bits are the
-     payload chunk (rank is monotone in sorted position because the table
-     is pre-sorted by key);
+     ``TBIT | (rank << Pb) | payload_chunk`` words -- the cummax over
+     sorted order always selects the latest table row, whose low bits are
+     the payload chunk (rank is monotone in sorted position because the
+     table is pre-sorted by key);
   4. a query is a within-read duplicate iff its sorted predecessor is a
      query with the same key from the same read (stable order makes
      same-read same-key queries consecutive);
@@ -25,6 +25,16 @@ The probe is one ``lax.sort`` join:
      count, first-occurrence) back to [B, W].
 
 Zero gathers, zero scatters: sorts + cumulative maxima + elementwise only.
+
+v3 payload economy (the sorts are ~95% of align time on v5e -- r4 stage
+profile): query rows carry their restore position ``val`` IN the first
+carry word (table words have bit 30 set, so they dominate any val under
+the cummax and a query row's own word still reads back as its val), the
+(sid, gc) payload chunks share one bit stream, and the restore sort packs
+(sid, gc, flags) into a single word with a 1-key unstable sort (restore
+keys are distinct for the query rows that matter).  Main join: 2 sort
+keys + 1 carry word (vs 2+3 before); restore: 1 key + 1 payload (vs 1+3)
+whenever the static bit budget fits, with exact multi-word fallback.
 """
 
 from __future__ import annotations
@@ -43,6 +53,8 @@ from shotgun_tpu.ops.probe_sort import (  # noqa: F401 (re-export)
 )
 
 _NEG1 = np.int32(-1)
+#: table-row flag bit in carry words; query rows carry val < 2**30
+_TBIT = np.int32(1 << 30)
 
 
 def _bits_for(n: int) -> int:
@@ -55,6 +67,97 @@ def _shift_pack(lo, hi, tag_bit: int):
     skh = (hi << jnp.uint32(1)) | (lo >> jnp.uint32(31))
     skl = (lo << jnp.uint32(1)) | jnp.uint32(tag_bit)
     return skh, skl
+
+
+def _carry_layout(u: int, n: int, num_sets: int, max_genome_count: int):
+    """Static sizing of the v3 carry words.
+
+    Each carry word is ``TBIT | (rank << pb) | chunk`` for table rows and
+    ``val`` for query rows; chunks are pb-bit slices of the packed
+    (sid << gc_bits | gc) payload.  Returns (pb, gc_bits, payload_bits,
+    n_words, gc_cap).
+    """
+    assert n < (1 << 30), "batch too large for val-in-carry packing"
+    rbits = _bits_for(u)
+    pb = 30 - rbits
+    assert pb >= 1, "table too large for int32 carry words"
+    sid_bits = _bits_for(num_sets)
+    gc_cap = min(int(max_genome_count), (1 << 16) - 1)
+    gc_bits = _bits_for(gc_cap + 1)
+    payload_bits = sid_bits + gc_bits
+    n_words = -(-payload_bits // pb)
+    return pb, gc_bits, payload_bits, n_words, gc_cap
+
+
+def _carry_words(tab_sid, tab_gc, rank, n, pb, gc_bits, n_words, gc_cap,
+                 table_live=None):
+    """Build the concatenated carry words (table rows || query vals)."""
+    payload = ((tab_sid.astype(jnp.uint32) << jnp.uint32(gc_bits))
+               | jnp.clip(tab_gc, 0, jnp.int32(gc_cap)).astype(jnp.uint32))
+    mask_pb = jnp.uint32((1 << pb) - 1)
+    qval = jnp.arange(n, dtype=jnp.int32)
+    words = []
+    for j in range(n_words):
+        chunk = (payload >> jnp.uint32(j * pb)) & mask_pb
+        wj = (_TBIT | (rank << jnp.uint32(pb)).astype(jnp.int32)
+              | chunk.astype(jnp.int32))
+        if table_live is not None:
+            # dead rows (padding) must never win a cummax: carry -1
+            wj = jnp.where(table_live, wj, _NEG1)
+        words.append(jnp.concatenate([wj, qval]))
+    return words
+
+
+def _payload_from_cummax(words_s, pb, gc_bits, payload_bits, n_words):
+    """Recover (sid, gc) for matched queries from carry-word cummaxes.
+
+    Also returns the first word's raw sorted stream (query rows read back
+    their own val from it)."""
+    mask_pb = jnp.uint32((1 << pb) - 1)
+    acc = jnp.zeros(words_s[0].shape, dtype=jnp.uint32)
+    for j in range(n_words):
+        cw = jax.lax.cummax(words_s[j])
+        chunk = cw.astype(jnp.uint32) & mask_pb
+        acc = acc | (chunk << jnp.uint32(j * pb))
+    if payload_bits < 32:
+        acc = acc & jnp.uint32((1 << payload_bits) - 1)
+    gc_q = (acc & jnp.uint32((1 << gc_bits) - 1)).astype(jnp.int32)
+    sid_q = (acc >> jnp.uint32(gc_bits)).astype(jnp.int32)
+    return sid_q, gc_q
+
+
+def _restore(is_table, val_q, sid_q, gc_q, flags, n, b, w, num_sets,
+             gc_bits):
+    """Bring (hit, sid, gc, first_occ) back to [B, W] with ONE 1-key sort.
+
+    ``val_q`` holds each query row's original flat position (garbage for
+    table rows); table rows get key n so they sort past every query.
+    Packs (flags | gc | sid) into one payload word when the static bit
+    budget fits (sid_bits + gc_bits + 2 <= 31), else falls back to
+    separate words.  Keys of the first n rows are distinct, so an
+    unstable sort is deterministic where it matters.
+    """
+    key = jnp.where(is_table, jnp.int32(n), val_q)
+    sid_bits = _bits_for(num_sets)
+    if sid_bits + gc_bits + 2 <= 31:
+        packed = (flags
+                  | (gc_q << jnp.int32(2))
+                  | (sid_q << jnp.int32(2 + gc_bits)))
+        _, packed_r = jax.lax.sort((key, packed), num_keys=1,
+                                   is_stable=False)
+        packed_r = packed_r[:n]
+        flags_r = packed_r & jnp.int32(3)
+        gc_r = (packed_r >> jnp.int32(2)) & jnp.int32((1 << gc_bits) - 1)
+        sid_r = packed_r >> jnp.int32(2 + gc_bits)
+    else:
+        _, sid_r, gc_r, flags_r = jax.lax.sort(
+            (key, sid_q, gc_q, flags), num_keys=1, is_stable=False)
+        sid_r, gc_r, flags_r = sid_r[:n], gc_r[:n], flags_r[:n]
+    hit = (flags_r & 1).astype(bool).reshape(b, w)
+    first_occ = (flags_r >> 1).astype(bool).reshape(b, w)
+    set_id = jnp.where(hit, sid_r.reshape(b, w), _NEG1)
+    genome_count = jnp.where(hit, gc_r.reshape(b, w), jnp.int32(0))
+    return hit, set_id, genome_count, first_occ
 
 
 def probe_dedupe_sorted(
@@ -88,20 +191,8 @@ def probe_dedupe_sorted(
         return false, neg, zero, false
     m = u + n
 
-    # ---- payload sizing (static) ----
-    # sid and gc travel as independent chunk streams (each value is
-    # reconstructed into its own uint32), so any (num_sets,
-    # max_genome_count) combination is exact -- a single packed
-    # sid|gc<<sid_bits word would silently truncate past 32 bits
-    rbits = _bits_for(u)
-    pb = 31 - rbits
-    assert pb >= 1, "table too large for int32 carry words"
-    sid_bits = _bits_for(num_sets)
-    gc_cap = min(int(max_genome_count), (1 << 16) - 1)
-    gc_bits = _bits_for(gc_cap + 1)
-    sid_words = -(-sid_bits // pb)
-    gc_words = -(-gc_bits // pb)
-    n_words = sid_words + gc_words
+    pb, gc_bits, payload_bits, n_words, gc_cap = _carry_layout(
+        u, n, num_sets, max_genome_count)
 
     # ---- build sort operands ----
     qlo = lo.reshape(-1)
@@ -116,28 +207,13 @@ def probe_dedupe_sorted(
 
     ckh = jnp.concatenate([tkh, qkh])
     ckl = jnp.concatenate([tkl, qkl])
-    val = jnp.concatenate([
-        jnp.arange(n, n + u, dtype=jnp.int32),   # table rows restore last
-        jnp.arange(n, dtype=jnp.int32),
-    ])
-
-    # carry words: (rank << pb) | chunk for table rows, -1 for queries
-    gc_c = jnp.minimum(tab.gc, jnp.int32(gc_cap)).astype(jnp.uint32)
-    sid_u = tab.sid.astype(jnp.uint32)
     rank = jnp.arange(u, dtype=jnp.uint32)
-    words = []
-    mask_pb = jnp.uint32((1 << pb) - 1)
-    for j in range(n_words):
-        if j < sid_words:
-            chunk = (sid_u >> jnp.uint32(j * pb)) & mask_pb
-        else:
-            chunk = (gc_c >> jnp.uint32((j - sid_words) * pb)) & mask_pb
-        wj = ((rank << jnp.uint32(pb)) | chunk).astype(jnp.int32)
-        words.append(jnp.concatenate([wj, jnp.full(n, _NEG1, jnp.int32)]))
+    words = _carry_words(tab.sid, tab.gc, rank, n, pb, gc_bits, n_words,
+                         gc_cap)
 
-    ops = jax.lax.sort((ckh, ckl, val, *words), num_keys=2, is_stable=True)
-    skh, skl, val_s = ops[0], ops[1], ops[2]
-    words_s = ops[3:]
+    ops = jax.lax.sort((ckh, ckl, *words), num_keys=2, is_stable=True)
+    skh, skl = ops[0], ops[1]
+    words_s = ops[2:]
 
     # ---- sorted-domain logic (scans + elementwise) ----
     iota = jnp.arange(m, dtype=jnp.int32)
@@ -150,19 +226,10 @@ def probe_dedupe_sorted(
     rs = jax.lax.cummax(jnp.where(~prev_same, iota, jnp.int32(0)))
     match = (~is_table) & (lt >= rs)
 
-    # payload chunks from the latest table row (exactly the run's row when
-    # match holds: rank is monotone in sorted position)
-    sid_acc = jnp.zeros(m, dtype=jnp.uint32)
-    gc_acc = jnp.zeros(m, dtype=jnp.uint32)
-    for j in range(n_words):
-        cw = jax.lax.cummax(words_s[j])
-        chunk = cw.astype(jnp.uint32) & mask_pb
-        if j < sid_words:
-            sid_acc = sid_acc | (chunk << jnp.uint32(j * pb))
-        else:
-            gc_acc = gc_acc | (chunk << jnp.uint32((j - sid_words) * pb))
-    sid_q = sid_acc.astype(jnp.int32)
-    gc_q = gc_acc.astype(jnp.int32)
+    sid_q, gc_q = _payload_from_cummax(words_s, pb, gc_bits, payload_bits,
+                                       n_words)
+    # query rows read their own restore position back from word 0
+    val_q = words_s[0]
 
     # within-read duplicate: predecessor is a same-key query from the same
     # read (stable sort keeps same-key queries in read/window order)
@@ -170,21 +237,15 @@ def probe_dedupe_sorted(
         jnp.zeros(1, dtype=bool), ~is_table[:-1]])
     same_read = jnp.concatenate([
         jnp.zeros(1, dtype=bool),
-        (val_s[1:] // jnp.int32(w)) == (val_s[:-1] // jnp.int32(w)),
+        (val_q[1:] // jnp.int32(w)) == (val_q[:-1] // jnp.int32(w)),
     ])
     dup = match & prev_same & prev_is_query & same_read
     first_occ_s = match & ~dup
 
-    # ---- restore original order ----
     flags = (match.astype(jnp.int32)
              | (first_occ_s.astype(jnp.int32) << 1))
-    _, sid_r, gc_r, flags_r = jax.lax.sort(
-        (val_s, sid_q, gc_q, flags), num_keys=1, is_stable=True)
-    hit = (flags_r[:n] & 1).astype(bool).reshape(b, w)
-    first_occ = (flags_r[:n] >> 1).astype(bool).reshape(b, w)
-    set_id = jnp.where(hit, sid_r[:n].reshape(b, w), _NEG1)
-    genome_count = jnp.where(hit, gc_r[:n].reshape(b, w), jnp.int32(0))
-    return hit, set_id, genome_count, first_occ
+    return _restore(is_table, val_q, sid_q, gc_q, flags, n, b, w,
+                    num_sets, gc_bits)
 
 
 def probe_dedupe_sorted_words(
@@ -224,18 +285,10 @@ def probe_dedupe_sorted_words(
         return false, neg, zero, false
     m = u + n
 
-    # ---- payload sizing (static; see probe_dedupe_sorted) ----
-    rbits = _bits_for(u)
-    pb = 31 - rbits
-    assert pb >= 1, "table too large for int32 carry words"
-    sid_bits = _bits_for(num_sets)
-    gc_cap = min(int(max_genome_count), (1 << 16) - 1)
-    gc_bits = _bits_for(gc_cap + 1)
-    sid_words = -(-sid_bits // pb)
-    gc_words = -(-gc_bits // pb)
-    n_words = sid_words + gc_words
+    pb, gc_bits, payload_bits, n_words, gc_cap = _carry_layout(
+        u, n, num_sets, max_genome_count)
 
-    # ---- sort operands: nw key words + tag word, then value + payload ----
+    # ---- sort operands: nw key words + tag word, then carry words ----
     ok = query_ok.reshape(-1)
     is_pad = tab.gc <= 0
     keys = [
@@ -245,31 +298,15 @@ def probe_dedupe_sorted_words(
         jnp.where(is_pad, jnp.uint32(3), jnp.uint32(0)),
         jnp.where(ok, jnp.uint32(1), jnp.uint32(2)),
     ])
-    val = jnp.concatenate([
-        jnp.arange(n, n + u, dtype=jnp.int32),   # table rows restore last
-        jnp.arange(n, dtype=jnp.int32),
-    ])
-
-    gc_c = jnp.clip(tab.gc, 0, jnp.int32(gc_cap)).astype(jnp.uint32)
-    sid_u = tab.sid.astype(jnp.uint32)
     rank = jnp.arange(u, dtype=jnp.uint32)
-    words = []
-    mask_pb = jnp.uint32((1 << pb) - 1)
-    for j in range(n_words):
-        if j < sid_words:
-            chunk = (sid_u >> jnp.uint32(j * pb)) & mask_pb
-        else:
-            chunk = (gc_c >> jnp.uint32((j - sid_words) * pb)) & mask_pb
-        wj = ((rank << jnp.uint32(pb)) | chunk).astype(jnp.int32)
-        wj = jnp.where(is_pad, _NEG1, wj)  # pads carry no payload
-        words.append(jnp.concatenate([wj, jnp.full(n, _NEG1, jnp.int32)]))
+    words = _carry_words(tab.sid, tab.gc, rank, n, pb, gc_bits, n_words,
+                         gc_cap, table_live=~is_pad)
 
     ops = jax.lax.sort(
-        (*keys, tag, val, *words), num_keys=nw + 1, is_stable=True)
+        (*keys, tag, *words), num_keys=nw + 1, is_stable=True)
     keys_s = ops[:nw]
     tag_s = ops[nw]
-    val_s = ops[nw + 1]
-    words_s = ops[nw + 2:]
+    words_s = ops[nw + 1:]
 
     # ---- sorted-domain logic ----
     iota = jnp.arange(m, dtype=jnp.int32)
@@ -283,35 +320,28 @@ def probe_dedupe_sorted_words(
     rs = jax.lax.cummax(jnp.where(~prev_same, iota, jnp.int32(0)))
     match = is_okq & (lt >= rs)
 
-    sid_acc = jnp.zeros(m, dtype=jnp.uint32)
-    gc_acc = jnp.zeros(m, dtype=jnp.uint32)
-    for j in range(n_words):
-        cw = jax.lax.cummax(words_s[j])
-        chunk = cw.astype(jnp.uint32) & mask_pb
-        if j < sid_words:
-            sid_acc = sid_acc | (chunk << jnp.uint32(j * pb))
-        else:
-            gc_acc = gc_acc | (chunk << jnp.uint32((j - sid_words) * pb))
-    sid_q = sid_acc.astype(jnp.int32)
-    gc_q = gc_acc.astype(jnp.int32)
+    sid_q, gc_q = _payload_from_cummax(words_s, pb, gc_bits, payload_bits,
+                                       n_words)
+    # non-table rows (ok + gated queries, pads) read back their carry
+    # word; for queries that is their val.  Pads carry -1 but are
+    # is_table=False... they must not confuse same_read: a pad's val
+    # reads -1 -> -1 // w == -1, never equal to a real read id except
+    # another pad; pads are never match/first_occ so flags stay 0 and
+    # their restore key is forced to n below via is_restore_last.
+    val_q = words_s[0]
+    is_restore_last = is_table | (tag_s == jnp.uint32(3))
 
     # within-read duplicate: predecessor is a same-key OK query from the
     # same read (ok queries are tag-contiguous and stable-ordered)
     prev_is_okq = jnp.concatenate([jnp.zeros(1, dtype=bool), is_okq[:-1]])
     same_read = jnp.concatenate([
         jnp.zeros(1, dtype=bool),
-        (val_s[1:] // jnp.int32(w)) == (val_s[:-1] // jnp.int32(w)),
+        (val_q[1:] // jnp.int32(w)) == (val_q[:-1] // jnp.int32(w)),
     ])
     dup = match & prev_same & prev_is_okq & same_read
     first_occ_s = match & ~dup
 
-    # ---- restore original order ----
     flags = (match.astype(jnp.int32)
              | (first_occ_s.astype(jnp.int32) << 1))
-    _, sid_r, gc_r, flags_r = jax.lax.sort(
-        (val_s, sid_q, gc_q, flags), num_keys=1, is_stable=True)
-    hit = (flags_r[:n] & 1).astype(bool).reshape(b, w)
-    first_occ = (flags_r[:n] >> 1).astype(bool).reshape(b, w)
-    set_id = jnp.where(hit, sid_r[:n].reshape(b, w), _NEG1)
-    genome_count = jnp.where(hit, gc_r[:n].reshape(b, w), jnp.int32(0))
-    return hit, set_id, genome_count, first_occ
+    return _restore(is_restore_last, val_q, sid_q, gc_q, flags, n, b, w,
+                    num_sets, gc_bits)
