@@ -29,7 +29,9 @@ BASELINE_READS_PER_SEC = 4900.0
 
 N_GENOMES = int(os.environ.get("BENCH_GENOMES", 5))
 GENOME_LEN = int(os.environ.get("BENCH_GENOME_LEN", 200_000))
-N_READS = int(os.environ.get("BENCH_READS", 262_144))
+# 2x the r1-r3 read count: the stream path's fill/dispatch ramp is a
+# fixed cost, and the steady-state claim deserves a longer steady state
+N_READS = int(os.environ.get("BENCH_READS", 524_288))
 READ_LEN = int(os.environ.get("BENCH_READ_LEN", 150))
 K = int(os.environ.get("BENCH_K", 31))
 # B=16384 measured fastest on v5e (610k reads/s vs 575k at 32768 and
@@ -71,6 +73,38 @@ def main():
     total_mbp = N_GENOMES * GENOME_LEN / 1e6
     log(f"DB build (warm): {build_s:.2f}s  ({total_mbp / build_s:.2f} Mbp/s, "
         f"{idx.num_kmers} kmers, {idx.num_sets} sets)")
+
+    # device-side build (index/device_build.py): probe table assembled on
+    # the TPU, device-resident -- the dumpalign -g fast path.  Warm call
+    # timed (same build-once-align-many regime as the host number); the
+    # cold call includes two one-off XLA compiles.
+    dev_build_mbp = dev_build_bulk_mbp = None
+    try:
+        dref = KmerReference.from_device_build(genomes, K)
+        t0 = time.perf_counter()
+        dref = KmerReference.from_device_build(genomes, K)
+        dev_build_s = time.perf_counter() - t0
+        dev_build_mbp = total_mbp / dev_build_s
+        log(f"DB build on device (warm): {dev_build_s:.3f}s "
+            f"({dev_build_mbp:.1f} Mbp/s, {dref.index.num_kmers} kmers)")
+        del dref
+        # scale point: per-RPC overhead is fixed, so the device build rate
+        # is corpus-size-dependent; measure at 32 Mbp too
+        bulk_mbp_target = int(os.environ.get("BENCH_DEVBUILD_MBP", 32))
+        if bulk_mbp_target:
+            bulk = synth_genomes(
+                rng, 8, bulk_mbp_target * 1_000_000 // 8)
+            dref = KmerReference.from_device_build(bulk, K)  # compile warm
+            t0 = time.perf_counter()
+            dref = KmerReference.from_device_build(bulk, K)
+            bulk_s = time.perf_counter() - t0
+            dev_build_bulk_mbp = bulk_mbp_target / bulk_s
+            log(f"DB build on device at {bulk_mbp_target} Mbp (warm): "
+                f"{bulk_s:.3f}s ({dev_build_bulk_mbp:.1f} Mbp/s, "
+                f"{dref.index.num_kmers} kmers)")
+            del dref, bulk
+    except Exception as exc:  # never lose the headline to the new path
+        log(f"device build failed: {exc!r}")
 
     t0 = time.perf_counter()
     ref = KmerReference(K, _index=idx)
@@ -194,6 +228,12 @@ def main():
             e2e_reads_per_s / BASELINE_READS_PER_SEC, 2),
         "compile_first_batch_s": round(compile_s, 2),
     }
+    if dev_build_mbp is not None:
+        extra["db_build_device_mbp_per_sec"] = round(dev_build_mbp, 2)
+        extra["db_build_device_vs_baseline"] = round(dev_build_mbp / 0.05, 1)
+    if dev_build_bulk_mbp is not None:
+        extra["db_build_device_bulk_mbp_per_sec"] = round(
+            dev_build_bulk_mbp, 2)
 
     def emit():
         # the harness takes the LAST stdout line; print + flush NOW so a

@@ -678,6 +678,11 @@ class PseudoAlignment:
             # file can't fill -- cap S at the estimated chunk count
             est_chunks = -(-stream.est_records() // b)
             sb = max(min(sb, est_chunks), 1)
+        if 1 < sb < 4:
+            # the lax.scan wrapper nearly doubles cold compile time
+            # (61s vs 35s measured on v5e for the same body); only pay
+            # it when S is large enough to meaningfully cut RPC count
+            sb = 1
 
         # lazy-scan overlap: the whole-input validation scan runs on a
         # worker thread (the ctypes call releases the GIL) concurrently

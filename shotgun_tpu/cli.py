@@ -284,9 +284,30 @@ def build_reference_align_and_dump(
     filter_similar: bool = False, similarity_threshold: float = 0.95,
     batch_size: int = DEFAULT_BATCH_SIZE, mesh=None,
 ) -> None:
-    kmer_reference = create_reference(
-        fasta_file, kmer_size, filter_similar, similarity_threshold
-    )
+    kmer_reference = None
+    if (not filter_similar and mesh is None
+            and os.environ.get("SHOTGUN_TPU_DEVICE_BUILD", "1") == "1"
+            and os.environ.get("SHOTGUN_TPU_PROBE", "sort") == "sort"):
+        # device-side DB build (index/device_build.py): the probe table
+        # assembles on the TPU with the align path's own sort machinery
+        # and never materializes host postings -- dumpalign needs only
+        # the summary.  None -> unsupported input (k > 31, > 64 records,
+        # similarity filtering); fall through to the host builder, whose
+        # output is bit-identical (tests/test_device_build.py).
+        with phase("fasta_parse"):
+            container = FASTAFile(fasta_file).container
+        from shotgun_tpu.io.packing import pack_genomes
+
+        genomes = (container.to_genome_arrays()
+                   if hasattr(container, "to_genome_arrays")
+                   else pack_genomes(list(container)))
+        with phase("db_build_device"):
+            kmer_reference = KmerReference.from_device_build(
+                genomes, kmer_size)
+    if kmer_reference is None:
+        kmer_reference = create_reference(
+            fasta_file, kmer_size, filter_similar, similarity_threshold
+        )
     alignment = create_alignment_from_reference(
         kmer_reference, reads_file, m, p,
         min_read_quality, min_kmer_quality, max_genomes,

@@ -209,15 +209,20 @@ def probe_dedupe_sorted(
     ckl = jnp.concatenate([tkl, qkl])
     rank = jnp.arange(u, dtype=jnp.uint32)
     words = _carry_words(tab.sid, tab.gc, rank, n, pb, gc_bits, n_words,
-                         gc_cap)
+                         gc_cap, table_live=tab.gc > 0)
 
     ops = jax.lax.sort((ckh, ckl, *words), num_keys=2, is_stable=True)
     skh, skl = ops[0], ops[1]
     words_s = ops[2:]
 
     # ---- sorted-domain logic (scans + elementwise) ----
+    # shape-bucket pad rows (reference._pad_rows) carry all-ones keys:
+    # tag bit 0 like table rows, but skh's MSB set -- impossible for a
+    # real 62-bit key (hi < 2**30), so the MSB test exactly excludes
+    # them from matching while they still restore past every query
     iota = jnp.arange(m, dtype=jnp.int32)
-    is_table = (skl & jnp.uint32(1)) == 0
+    tag_table = (skl & jnp.uint32(1)) == 0
+    is_table = tag_table & ((skh >> jnp.uint32(31)) == 0)
     prev_same = jnp.concatenate([
         jnp.zeros(1, dtype=bool),
         (skh[1:] == skh[:-1]) & ((skl[1:] >> 1) == (skl[:-1] >> 1)),
@@ -244,7 +249,9 @@ def probe_dedupe_sorted(
 
     flags = (match.astype(jnp.int32)
              | (first_occ_s.astype(jnp.int32) << 1))
-    return _restore(is_table, val_q, sid_q, gc_q, flags, n, b, w,
+    # pads restore last like real table rows (tag_table, not is_table:
+    # their carry word is -1, which must never win a restore-key slot)
+    return _restore(tag_table, val_q, sid_q, gc_q, flags, n, b, w,
                     num_sets, gc_bits)
 
 

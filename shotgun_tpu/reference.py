@@ -49,6 +49,34 @@ def extract_kmers_from_genome(k: int, genome: str):
     return ((i, genome[i: i + k]) for i in range(len(genome) - k + 1))
 
 
+class _DeviceIndexStub:
+    """Minimal index facade for a device-built reference: the align and
+    summary paths need only scalar metadata (k, record descriptions and
+    lengths); the key-shaped arrays live on device inside the probe
+    table.  Anything that needs host k-mer arrays raises."""
+
+    def __init__(self, k, descriptions, record_lengths, num_kmers,
+                 num_sets):
+        self.k = k
+        self.descriptions = descriptions
+        self.record_lengths = record_lengths
+        self.kept = np.ones(len(descriptions), dtype=bool)
+        self.num_kmers = num_kmers
+        self.num_sets = num_sets
+        self.similarity_info = None
+
+    @property
+    def num_records(self) -> int:
+        return len(self.descriptions)
+
+    def __getattr__(self, name):
+        raise AttributeError(
+            f"device-built reference has no host index array '{name}'; "
+            "rebuild with the host builder (KmerReference(k, container)) "
+            "for dumpref/EXTSIM/.kdb workflows"
+        )
+
+
 class KmerReference:
     def __init__(
         self,
@@ -83,6 +111,53 @@ class KmerReference:
         # method -> device probe structure; index is immutable after
         # construction (EXTSIM runs inside __init__), so no invalidation
         self._device_tables: dict = {}
+
+    @classmethod
+    def from_device_build(cls, genomes, k: int) -> Optional["KmerReference"]:
+        """Reference whose probe tables were built ON DEVICE
+        (index.device_build) -- the postings-free dumpalign fast path.
+
+        The returned object aligns and summarizes identically to a
+        host-built reference (tested), but has no host k-mer arrays:
+        dumpref-style enumeration, string lookup, EXTSIM and .kdb save
+        raise.  Returns None when the device build does not support the
+        input (k > 31 or more than 64 records) -- callers fall back to
+        the host builder."""
+        from shotgun_tpu.index.device_build import device_build_tables
+
+        built = device_build_tables(genomes, k, cls._pad_rows)
+        if built is None:
+            return None
+        import jax.numpy as jnp
+
+        from shotgun_tpu.ops.probe_sort import SortedTableDev
+
+        self = cls.__new__(cls)
+        self._container = None
+        self._records = None
+        self._probe_table = None
+        self.index = _DeviceIndexStub(
+            k=k,
+            descriptions=list(genomes.descriptions),
+            record_lengths=np.diff(genomes.offsets).astype(np.int64),
+            num_kmers=built["num_kmers"],
+            num_sets=built["num_sets"],
+        )
+        r = self.index.num_records
+        rp = self._pad_rows(max(r, 8), lo=8)
+        sp = self._pad_rows(max(built["num_sets"], 1), lo=8)
+        bits = np.unpackbits(built["set_masks"], axis=1, bitorder="little")
+        dense = np.zeros((sp, rp), dtype=np.uint8)
+        if built["num_sets"]:
+            dense[: built["num_sets"], :r] = bits[:, :r]
+        self._set_member_dense = dense
+        self._device_tables = {
+            "sort": SortedTableDev(
+                klo=built["klo"], khi=built["khi"],
+                sid=built["sid"], gc=built["gc"],
+            )
+        }
+        return self
 
     # ------------------------------------------------------------------
     # reference-parity accessors
@@ -277,6 +352,21 @@ class KmerReference:
     # device-side arrays
     # ------------------------------------------------------------------
 
+    @staticmethod
+    def _pad_rows(n: int, lo: int = 1024, linear_past: int = 1 << 24) -> int:
+        """Shape bucket for device-table row counts.
+
+        Array extents are baked into compiled XLA executables, so an
+        unpadded table forces a full recompile (1-6 min over the remote
+        compile service) for EVERY new reference DB.  Bucketing the row
+        count to a power of two (linear 2^24 steps past 16M rows, keeping
+        waste <= 256 MB at scale) makes executables -- and the persistent
+        compile cache -- reusable across DBs of similar size."""
+        n = max(int(n), lo)
+        if n <= linear_past:
+            return 1 << (n - 1).bit_length()
+        return -(-n // linear_past) * linear_past
+
     def device_probe_tables(self, method: Optional[str] = None):
         """Device probe structure for the align pipeline.
 
@@ -311,20 +401,45 @@ class KmerReference:
                     f"k={self.index.k}"
                 )
             cols, sid, gc = sorted_table_host_words(self.index)
+            # pad rows to the shape bucket: all-ones keys with gc == 0
+            # (the probe's tag-3 pad contract; sorts after every real key)
+            up = self._pad_rows(sid.size) - sid.size
+            if up:
+                ones = np.full(up, 0xFFFFFFFF, dtype=np.uint32)
+                cols = tuple(np.concatenate([c, ones]) for c in cols)
+                sid = np.concatenate([sid, np.zeros(up, np.int32)])
+                gc = np.concatenate([gc, np.zeros(up, np.int32)])
             tab = SortedTableDevW(
                 kws=tuple(jnp.asarray(c) for c in cols),
                 sid=jnp.asarray(sid), gc=jnp.asarray(gc),
             )
         elif method == "sort":
             klo, khi, sid, gc = sorted_table_host(self.index)
+            # pad rows to the shape bucket: (0xFFFF..., 0xFFFF...) keys
+            # are unreachable by any real 62-bit k-mer (hi < 2**30) and
+            # carry gc == 0 so the probe treats them as dead rows
+            up = self._pad_rows(sid.size) - sid.size
+            if up:
+                ones = np.full(up, 0xFFFFFFFF, dtype=np.uint32)
+                klo = np.concatenate([klo, ones])
+                khi = np.concatenate([khi, ones])
+                sid = np.concatenate([sid, np.zeros(up, np.int32)])
+                gc = np.concatenate([gc, np.zeros(up, np.int32)])
             tab = SortedTableDev(
                 klo=jnp.asarray(klo), khi=jnp.asarray(khi),
                 sid=jnp.asarray(sid), gc=jnp.asarray(gc),
             )
         else:
             pt = self.probe_table()
+            # stash rows are compared all-lanes; pad to the fixed cap with
+            # unreachable all-ones keys so the executable shape is stable
+            stash = pt.stash
+            if stash.shape[0] < 64:
+                pad = np.full((64 - stash.shape[0], 4), 0xFFFFFFFF,
+                              dtype=np.uint32)
+                stash = np.concatenate([stash, pad])
             tab = HashTableDev(
-                table=jnp.asarray(pt.table), stash=jnp.asarray(pt.stash)
+                table=jnp.asarray(pt.table), stash=jnp.asarray(stash)
             )
         self._device_tables[method] = tab
         return tab
@@ -343,14 +458,21 @@ class KmerReference:
         return self._probe_table
 
     def set_member_dense(self, pad_to_multiple: int = 8) -> np.ndarray:
-        """[S, R_padded] uint8 record-membership matrix for the device."""
+        """[S_padded, R_padded] uint8 record-membership matrix.
+
+        Both extents are shape-bucketed to powers of two (min 8): they are
+        baked into every align executable, and bucketing keeps compiled
+        programs reusable across reference DBs (see ``_pad_rows``).  Pad
+        sets are all-zero rows (never any set id's target); pad records
+        accumulate nothing and the host slices aggregation back to the
+        real record count."""
         if self._set_member_dense is None:
             idx = self.index
             bits = np.unpackbits(idx.set_masks, axis=1, bitorder="little")
             r = idx.num_records
-            rp = max(((r + pad_to_multiple - 1) // pad_to_multiple) * pad_to_multiple,
-                     pad_to_multiple)
-            dense = np.zeros((max(idx.num_sets, 1), rp), dtype=np.uint8)
+            rp = self._pad_rows(max(r, pad_to_multiple), lo=pad_to_multiple)
+            sp = self._pad_rows(max(idx.num_sets, 1), lo=pad_to_multiple)
+            dense = np.zeros((sp, rp), dtype=np.uint8)
             if idx.num_sets:
                 dense[: idx.num_sets, :r] = bits[:, :r]
             self._set_member_dense = dense
