@@ -331,7 +331,11 @@ inline bool next_group(const uint8_t* d, int64_t n, int64_t* pos, Line* seq,
 }  // namespace
 
 // Fill up to max_records records into row-major [max_records, lmax] buffers.
-// Returns the number of records written (0 at end of input).
+// Returns the number of records written (0 at end of input), or -1 when a
+// record exceeds lmax -- the same LmaxExceeded contract as the packed
+// variant, so lazy callers whose lmax is a first-record guess can retry at
+// a wider stride instead of silently receiving truncated sequences
+// (ADVICE.md r3 #3).
 extern "C" int64_t stpu_fastq_stream_next(void* handle, int64_t max_records,
                                           uint8_t* codes, uint8_t* qual,
                                           int32_t* lengths, int64_t lmax) {
@@ -342,8 +346,7 @@ extern "C" int64_t stpu_fastq_stream_next(void* handle, int64_t max_records,
   while (rec < max_records && next_group(d, s->n, &s->pos, &ls, &lq)) {
     int64_t sl = ls.end - ls.start;
     int64_t ql = lq.end - lq.start;
-    if (sl > lmax) sl = lmax;  // scanned-valid input never truncates
-    if (ql > lmax) ql = lmax;
+    if (sl > lmax || ql > lmax) return -1;
     lengths[rec] = (int32_t)sl;
     uint8_t* crow = codes + rec * lmax;
     for (int64_t j = 0; j < sl; ++j) crow[j] = T.code[d[ls.start + j]];

@@ -239,6 +239,10 @@ def fastq_stream_chunks(data: bytes, chunk_records: int, lmax: int):
                 _ptr(codes, ctypes.c_uint8), _ptr(qual, ctypes.c_uint8),
                 _ptr(lengths, ctypes.c_int32), lmax,
             )
+            if got < 0:
+                # same contract as the packed fill: a record wider than
+                # lmax raises instead of silently truncating
+                raise LmaxExceeded(lmax)
             if got == 0:
                 return
             yield codes, qual, lengths, int(got)
