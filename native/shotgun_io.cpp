@@ -305,7 +305,7 @@ namespace {
 // where the scan matched one.
 inline bool next_group(const uint8_t* d, int64_t n, int64_t* pos, Line* seq,
                        Line* qual) {
-  int64_t l0s, l0e, ls, le;
+  int64_t l0s, l0e;
   while (next_line(d, n, pos, &l0s, &l0e)) {
     if (l0e <= l0s || d[l0s] != '@') continue;
     const int64_t resync = *pos;  // next line after the '@' head
@@ -403,6 +403,272 @@ extern "C" int64_t stpu_fastq_stream_next_packed(
 
 extern "C" void stpu_fastq_stream_close(void* handle) {
   delete (FastqStream*)handle;
+}
+
+// ---------------------------------------------------------------------------
+// Validating packed stream: the whole-input contract (structure, character
+// classes, duplicate ids, length equality, unparsed data) is enforced IN
+// the fill pass itself, so lazy callers need no separate whole-input scan
+// thread -- on a 2-core host the scan pass used to burn the second core
+// that the (parallel) encode phase now uses.  Detection is complete but
+// statuses are advisory: ANY nonzero status makes the Python caller rerun
+// the input through the regex engine, which raises the reference's exact
+// error type and message (io/data_file.py).
+//
+// Two phases per chunk:
+//   1. sequential structure walk -- line splitting, '@' header + id class,
+//      '+' separator dots, terminator lookahead, duplicate-id hash set,
+//      length equality, whitespace-only junk lines;
+//   2. parallel encode -- per-record 2-bit seq pack (a non-ACGT byte
+//      flags UNPARSED) and quality-class validation (+ optional copy),
+//      split across worker threads over independent output rows.
+// ---------------------------------------------------------------------------
+
+#include <atomic>
+#include <thread>
+
+namespace {
+
+// Zero-allocation duplicate-id set: open addressing over (hash, span)
+// entries pointing back into the input buffer -- the std::string-per-id
+// of the scan's unordered_set dominated the sequential phase of the
+// validating fill.
+struct IdSpanSet {
+  struct Entry {
+    uint64_t hash = 0;
+    int64_t start = -1;
+    int32_t len = 0;
+  };
+  std::vector<Entry> slots;
+  size_t count = 0;
+  const uint8_t* base = nullptr;
+
+  static uint64_t hash_bytes(const uint8_t* p, int64_t len) {
+    uint64_t h = 1469598103934665603ull;  // FNV-1a 64
+    for (int64_t i = 0; i < len; ++i) {
+      h ^= p[i];
+      h *= 1099511628211ull;
+    }
+    return h | 1;  // nonzero
+  }
+
+  void grow() {
+    size_t cap = slots.empty() ? 4096 : slots.size() * 2;
+    std::vector<Entry> ns(cap);
+    for (const Entry& e : slots) {
+      if (e.start < 0) continue;
+      size_t j = (size_t)e.hash & (cap - 1);
+      while (ns[j].start >= 0) j = (j + 1) & (cap - 1);
+      ns[j] = e;
+    }
+    slots.swap(ns);
+  }
+
+  // returns false if the id was already present
+  bool insert(int64_t start, int64_t len) {
+    if (slots.empty() || count * 10 >= slots.size() * 7) grow();
+    uint64_t h = hash_bytes(base + start, len);
+    size_t mask = slots.size() - 1;
+    size_t j = (size_t)h & mask;
+    while (slots[j].start >= 0) {
+      if (slots[j].hash == h && slots[j].len == (int32_t)len &&
+          std::memcmp(base + slots[j].start, base + start, (size_t)len) == 0)
+        return false;
+      j = (j + 1) & mask;
+    }
+    slots[j] = {h, start, (int32_t)len};
+    ++count;
+    return true;
+  }
+};
+
+struct VFastqStream {
+  const uint8_t* d;
+  int64_t n;
+  int64_t pos;
+  IdSpanSet seen;
+  int64_t n_rec = 0;
+  int64_t max_len = 0;
+  int status = OK;  // sticky; advisory (see header comment)
+  bool eof = false;
+  // phase-1 scratch, reused across chunks
+  std::vector<int64_t> seq_s, qual_s;
+  std::vector<int32_t> lens;
+};
+
+}  // namespace
+
+extern "C" void* stpu_fastq_vstream_open(const uint8_t* d, int64_t n) {
+  auto* s = new VFastqStream;
+  s->d = d;
+  s->n = n;
+  s->pos = 0;
+  s->seen.base = d;
+  return s;
+}
+
+extern "C" int stpu_fastq_vstream_status(void* handle) {
+  auto* s = (VFastqStream*)handle;
+  if (s->status != OK) return s->status;
+  if (s->eof && s->n_rec == 0) return NO_RECORDS;
+  return OK;
+}
+
+extern "C" int64_t stpu_fastq_vstream_nrec(void* handle) {
+  return ((VFastqStream*)handle)->n_rec;
+}
+
+extern "C" int64_t stpu_fastq_vstream_maxlen(void* handle) {
+  return ((VFastqStream*)handle)->max_len;
+}
+
+extern "C" void stpu_fastq_vstream_close(void* handle) {
+  delete (VFastqStream*)handle;
+}
+
+// Returns records written (0 at end of input), -1 when a record exceeds
+// lmax (caller restarts wider -- the handle must be reopened), or -2 on a
+// validation failure (sticky status readable via vstream_status).
+extern "C" int64_t stpu_fastq_vstream_next_packed(
+    void* handle, int64_t max_records, uint8_t* codes_packed, uint8_t* qual,
+    int32_t* lengths, int64_t lmax, int64_t n_threads) {
+  auto* s = (VFastqStream*)handle;
+  if (s->status != OK) return -2;
+  const uint8_t* d = s->d;
+  const int64_t n = s->n;
+  const int64_t stride = lmax / 4;
+
+  s->seq_s.clear();
+  s->qual_s.clear();
+  s->lens.clear();
+
+  // ---- phase 1: sequential structure walk ----
+  int64_t rec = 0;
+  int64_t l0s, l0e;
+  while (rec < max_records && next_line(d, n, &s->pos, &l0s, &l0e)) {
+    if (l0e <= l0s) continue;  // empty line: whitespace, allowed
+    if (d[l0s] != '@') {
+      // not a group head: the scan leaves it unmatched, so it must be
+      // whitespace-only (UnparsedDataError otherwise)
+      if (first_nonws(d, l0s, l0e) >= 0) {
+        s->status = UNPARSED;
+        return -2;
+      }
+      continue;
+    }
+    // '@' head: in a valid input this ALWAYS opens a group (quality
+    // lines that start with '@' are consumed as part of their group and
+    // never reach here)
+    if (l0e - l0s < 2 || !all_in(d, l0s + 1, l0e, T.id_ok)) {
+      s->status = UNPARSED;
+      return -2;
+    }
+    int64_t s1, e1, s2, e2, s3, e3;
+    if (!next_line(d, n, &s->pos, &s1, &e1) ||
+        !next_line(d, n, &s->pos, &s2, &e2) ||
+        !next_line(d, n, &s->pos, &s3, &e3)) {
+      s->status = UNPARSED;  // truncated group
+      return -2;
+    }
+    if (e1 <= s1 || e2 <= s2 || d[s2] != '+' || e3 <= s3) {
+      s->status = UNPARSED;
+      return -2;
+    }
+    bool dots = true;
+    for (int64_t j = s2 + 1; j < e2; ++j) dots &= (d[j] == '.');
+    if (!dots) {
+      s->status = UNPARSED;
+      return -2;
+    }
+    // terminator: next line must open with '@', or this group ends the
+    // input with at most one trailing newline (s->pos == n covers both)
+    if (s->pos < n && d[s->pos] != '@') {
+      s->status = UNPARSED;
+      return -2;
+    }
+    int64_t sl = e1 - s1, ql = e3 - s3;
+    if (sl > lmax || ql > lmax) return -1;
+    if (sl != ql) {
+      s->status = LEN_MISMATCH;
+      return -2;
+    }
+    int64_t is = l0s + 1, ie = l0e;
+    strip_span(d, &is, &ie);
+    if (!s->seen.insert(is, ie - is)) {
+      s->status = DUPLICATE_ID;
+      return -2;
+    }
+    if (sl > s->max_len) s->max_len = sl;
+    s->seq_s.push_back(s1);
+    s->qual_s.push_back(s3);
+    s->lens.push_back((int32_t)sl);
+    lengths[rec] = (int32_t)sl;
+    ++rec;
+  }
+  if (s->pos >= n) s->eof = true;
+  if (rec == 0) return 0;
+  s->n_rec += rec;
+
+  // ---- phase 2: parallel encode + charclass validation ----
+  std::atomic<int> bad{0};
+  auto worker = [&](int64_t lo, int64_t hi) {
+    bool w_bad = false;
+    for (int64_t r = lo; r < hi; ++r) {
+      const uint8_t* src = d + s->seq_s[(size_t)r];
+      const int64_t sl = s->lens[(size_t)r];
+      uint8_t* crow = codes_packed + r * stride;
+      uint8_t ored = 0;
+      int64_t j = 0;
+      for (; j + 4 <= sl; j += 4) {
+        uint8_t c0 = T.code[src[j]], c1 = T.code[src[j + 1]];
+        uint8_t c2 = T.code[src[j + 2]], c3 = T.code[src[j + 3]];
+        ored |= c0 | c1 | c2 | c3;
+        crow[j >> 2] =
+            (uint8_t)(c0 | (c1 << 2) | (c2 << 4) | (c3 << 6));
+      }
+      if (j < sl) {
+        uint8_t acc = 0;
+        for (int64_t t = 0; j + t < sl; ++t) {
+          uint8_t c = T.code[src[j + t]];
+          ored |= c;
+          acc |= (uint8_t)(c << (2 * t));
+        }
+        crow[j >> 2] = acc;
+      }
+      // any non-ACGT byte has code >= 4 (N or 255): reads reject N too
+      w_bad |= (ored & 0xFC) != 0;
+      const uint8_t* qsrc = d + s->qual_s[(size_t)r];
+      if (qual) {
+        uint8_t* qrow = qual + r * lmax;
+        for (int64_t t = 0; t < sl; ++t) {
+          w_bad |= !T.qual_ok[qsrc[t]];
+          qrow[t] = qsrc[t];
+        }
+      } else {
+        for (int64_t t = 0; t < sl; ++t) w_bad |= !T.qual_ok[qsrc[t]];
+      }
+    }
+    if (w_bad) bad.store(1, std::memory_order_relaxed);
+  };
+  int64_t nt = n_threads < 1 ? 1 : (n_threads > 8 ? 8 : n_threads);
+  if (rec < 4096) nt = 1;
+  if (nt == 1) {
+    worker(0, rec);
+  } else {
+    std::vector<std::thread> ts;
+    int64_t per = (rec + nt - 1) / nt;
+    for (int64_t t = 0; t < nt; ++t) {
+      int64_t lo = t * per, hi = lo + per > rec ? rec : lo + per;
+      if (lo >= hi) break;
+      ts.emplace_back(worker, lo, hi);
+    }
+    for (auto& t : ts) t.join();
+  }
+  if (bad.load()) {
+    s->status = UNPARSED;
+    return -2;
+  }
+  return rec;
 }
 
 // ---------------------------------------------------------------------------

@@ -16,6 +16,7 @@ construction.
 from __future__ import annotations
 
 import gzip
+import os
 from typing import FrozenSet, Optional
 
 from shotgun_tpu.io import native
@@ -145,15 +146,20 @@ class FASTAQStream:
         self._raw = raw
         self._scan_thread = None
         self._scan_result = None
+        self._vfill = False
         if lazy:
-            # lazy mode: validation runs concurrently with the align loop
-            # (start_validation / finish_validation); until it finishes,
-            # max_len is a PEEK at the first record and num_records is
-            # unknown.  The packed fill is overrun-safe on unvalidated
-            # input, and any validation failure discards the run (the
-            # caller falls back to the regex engine for exact errors).
+            # lazy mode: until validation completes, max_len is a PEEK at
+            # the first record and num_records is unknown.  Default: the
+            # VALIDATING native fill (chunks_vpacked) enforces the
+            # whole-input contract inside the fill pass itself, freeing
+            # the second host core for its parallel encode phase;
+            # SHOTGUN_TPU_VFILL=0 restores the overrun-safe plain fill
+            # with the validation scan on a worker thread.  Either way a
+            # validation failure discards the run (the caller falls back
+            # to the regex engine for exact errors).
             if not native.available():
                 raise native.NativeParseError(native.STATUS_NON_ASCII, 0, 0)
+            self._vfill = os.environ.get("SHOTGUN_TPU_VFILL", "1") == "1"
             self.num_records: Optional[int] = None
             self.max_len: int = self._peek_first_len(raw)
             return
@@ -178,8 +184,11 @@ class FASTAQStream:
 
     def start_validation(self) -> None:
         """Kick off the whole-input native scan on a worker thread (the
-        ctypes call releases the GIL, so it overlaps the fill loop)."""
-        if self._scan_thread is not None or self.num_records is not None:
+        ctypes call releases the GIL, so it overlaps the fill loop).
+        No-op under the validating fill: the fill pass itself enforces
+        the contract and raises during iteration."""
+        if (self._vfill or self._scan_thread is not None
+                or self.num_records is not None):
             return
         import threading
 
@@ -225,7 +234,17 @@ class FASTAQStream:
         """Yield (codes_2bit [C, lmax/4], qual-or-dummy, lengths, n_filled):
         the transfer-diet form -- codes arrive device-unpackable 2-bit
         packed straight from the native fill, and the quality plane is
-        only materialized when a quality gate will consume it."""
+        only materialized when a quality gate will consume it.  Under the
+        validating fill (lazy default) the generator also enforces the
+        whole-input contract, raising NativeParseError mid-iteration on
+        invalid input."""
+        if self._vfill:
+            try:
+                nt = int(os.environ.get("SHOTGUN_TPU_FILL_THREADS", "2"))
+            except ValueError:
+                nt = 2
+            return native.fastq_stream_chunks_vpacked(
+                self._raw, chunk_records, lmax, with_qual, n_threads=nt)
         return native.fastq_stream_chunks_packed(
             self._raw, chunk_records, lmax, with_qual)
 

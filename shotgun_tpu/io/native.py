@@ -72,6 +72,20 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_int64, u8p, u8p, i32p, ctypes.c_int64]
         lib.stpu_fastq_stream_close.restype = None
         lib.stpu_fastq_stream_close.argtypes = [ctypes.c_void_p]
+        lib.stpu_fastq_vstream_open.restype = ctypes.c_void_p
+        lib.stpu_fastq_vstream_open.argtypes = [u8p, ctypes.c_int64]
+        lib.stpu_fastq_vstream_next_packed.restype = ctypes.c_int64
+        lib.stpu_fastq_vstream_next_packed.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, u8p, u8p, i32p,
+            ctypes.c_int64, ctypes.c_int64]
+        lib.stpu_fastq_vstream_status.restype = ctypes.c_int
+        lib.stpu_fastq_vstream_status.argtypes = [ctypes.c_void_p]
+        lib.stpu_fastq_vstream_nrec.restype = ctypes.c_int64
+        lib.stpu_fastq_vstream_nrec.argtypes = [ctypes.c_void_p]
+        lib.stpu_fastq_vstream_maxlen.restype = ctypes.c_int64
+        lib.stpu_fastq_vstream_maxlen.argtypes = [ctypes.c_void_p]
+        lib.stpu_fastq_vstream_close.restype = None
+        lib.stpu_fastq_vstream_close.argtypes = [ctypes.c_void_p]
         lib.stpu_build_stage1.restype = ctypes.c_void_p
         lib.stpu_build_stage1.argtypes = [
             u8p, ctypes.c_int64, i64p, ctypes.c_int64, ctypes.c_int64, i64p]
@@ -289,6 +303,49 @@ def fastq_stream_chunks_packed(data: bytes, chunk_records: int, lmax: int,
                 return
     finally:
         lib.stpu_fastq_stream_close(handle)
+
+
+def fastq_stream_chunks_vpacked(data: bytes, chunk_records: int, lmax: int,
+                                with_qual: bool, n_threads: int = 2):
+    """Validating form of ``fastq_stream_chunks_packed``: the native fill
+    enforces the whole-input contract itself (structure, character
+    classes, duplicate ids, length equality, unparsed data) while
+    packing, with the encode phase split across ``n_threads`` -- no
+    separate whole-input scan pass needed.  Raises NativeParseError on
+    invalid input (statuses advisory: the caller reruns through the
+    regex engine for the reference's exact errors) and LmaxExceeded when
+    a record exceeds the stride.  The final yield is followed by an
+    end-of-stream status check (catches empty inputs)."""
+    lib = _load()
+    assert lib is not None, "requires the native lib"
+    assert lmax % 4 == 0
+    p, n = _as_u8(data)
+    handle = lib.stpu_fastq_vstream_open(p, n)
+    assert handle
+    null_u8 = ctypes.POINTER(ctypes.c_uint8)()
+    dummy = np.zeros((chunk_records, 1), dtype=np.uint8)
+    try:
+        while True:
+            codes = np.zeros((chunk_records, lmax // 4), dtype=np.uint8)
+            qual = (np.zeros((chunk_records, lmax), dtype=np.uint8)
+                    if with_qual else dummy)
+            lengths = np.zeros(chunk_records, dtype=np.int32)
+            got = lib.stpu_fastq_vstream_next_packed(
+                handle, chunk_records,
+                _ptr(codes, ctypes.c_uint8),
+                _ptr(qual, ctypes.c_uint8) if with_qual else null_u8,
+                _ptr(lengths, ctypes.c_int32), lmax, n_threads,
+            )
+            if got == -1:
+                raise LmaxExceeded(lmax)
+            if got == -2 or got == 0:
+                status = int(lib.stpu_fastq_vstream_status(handle))
+                if status != STATUS_OK:
+                    raise NativeParseError(status, 0, 0)
+                return
+            yield codes, qual, lengths, int(got)
+    finally:
+        lib.stpu_fastq_vstream_close(handle)
 
 
 def build_kmer_index(codes: np.ndarray, offsets: np.ndarray, k: int):

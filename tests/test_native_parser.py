@@ -10,6 +10,8 @@ duplicate ids, length mismatches, whitespace-only genome bodies.
 
 import random
 
+import numpy as np
+
 import pytest
 
 from shotgun_tpu.io import native
@@ -288,3 +290,74 @@ def test_streaming_superbatch_matches_per_batch(tmp_path, monkeypatch):
                 a.align_stream(stream, 1, 1, batch_size=64, **filters)
                 outs.append(json.dumps(a.get_summary(), indent=4))
         assert all(o == outs[0] for o in outs[1:])
+
+
+# ---------------------------------------------------------------------------
+# validating packed fill (vstream): validation inside the fill pass
+# ---------------------------------------------------------------------------
+
+def _vpacked_all(data: bytes, chunk: int = 64, lmax: int = 32,
+                 with_qual: bool = True):
+    out = []
+    for codes, qual, lengths, got in native.fastq_stream_chunks_vpacked(
+            data, chunk, lmax, with_qual):
+        out.append((codes.copy(), qual.copy(), lengths.copy(), got))
+    return out
+
+
+def test_vpacked_matches_plain_packed():
+    data = b"".join(
+        b"@r%d\nACGTACGTACGTACGT\n+\nIIIIIIIIIIIIIIII\n" % i
+        for i in range(200)
+    )
+    a = _vpacked_all(data)
+    b = []
+    for codes, qual, lengths, got in native.fastq_stream_chunks_packed(
+            data, 64, 32, True):
+        b.append((codes.copy(), qual.copy(), lengths.copy(), got))
+    assert len(a) == len(b)
+    for (ca, qa, la, ga), (cb, qb, lb, gb) in zip(a, b):
+        assert ga == gb
+        np.testing.assert_array_equal(ca, cb)
+        np.testing.assert_array_equal(qa, qb)
+        np.testing.assert_array_equal(la, lb)
+
+
+@pytest.mark.parametrize("data,desc", [
+    (b"@r1\nACGT\n+\nIIII\n@r1\nACGT\n+\nIIII\n", "duplicate id"),
+    (b"@r1\nACGX\n+\nIIII\n", "bad seq char"),
+    (b"@r1\nACGN\n+\nIIII\n", "N illegal in reads"),
+    (b"@r1\nACGT\n+\nII\x07I\n", "bad quality char"),
+    (b"@r1\nACGT\n+\nIIIII\n", "length mismatch"),
+    (b"@r1\nACGT\n+\nIIII\njunk\n", "trailing garbage"),
+    (b"@r1\nACGT\nIIII\n", "missing + line"),
+    (b"", "empty input"),
+    (b"  \n\t\n", "whitespace only"),
+])
+def test_vpacked_rejects_invalid(data, desc):
+    with pytest.raises(native.NativeParseError):
+        _vpacked_all(data)
+
+
+def test_vpacked_lmax_exceeded():
+    data = b"@r1\n" + b"A" * 64 + b"\n+\n" + b"I" * 64 + b"\n"
+    with pytest.raises(native.LmaxExceeded):
+        _vpacked_all(data, lmax=32)
+    # retry at a wider stride succeeds
+    out = _vpacked_all(data, lmax=64)
+    assert out[0][3] == 1
+
+
+def test_vpacked_valid_multichunk_thread_split():
+    # enough records to engage the multithreaded encode phase
+    n = 9000
+    data = b"".join(
+        b"@read%08d\nACGTACGTACGTACGTACGTACGTACGTACGT\n+\n"
+        b"IIIIIIIIIIIIIIIIIIIIIIIIIIIIIIII\n" % i for i in range(n)
+    )
+    tot = 0
+    for codes, qual, lengths, got in native.fastq_stream_chunks_vpacked(
+            data, 8192, 32, False, n_threads=2):
+        assert (lengths[:got] == 32).all()
+        tot += got
+    assert tot == n
