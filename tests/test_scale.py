@@ -187,3 +187,55 @@ def test_scan_path_with_filters_matches_oracle(big_corpus):
     assert got["Summary"] == expected["Summary"]
     assert expected["Statistics"]["filtered_quality_reads"] > 0
     assert expected["Statistics"]["filtered_hr_kmers"] > 0
+
+
+def test_capacity_math_at_bulk_scale():
+    """Table-capacity math at real-metagenomics sizes (VERDICT r3 #6):
+    shape buckets, carry-word layout, and sharding pads must all hold at
+    a 100 Mbp-class DB (tens of millions of distinct k-mers) without
+    silent overflow."""
+    from shotgun_tpu.ops.probe_sort2 import _carry_layout
+    from shotgun_tpu.reference import KmerReference
+
+    pad = KmerReference._pad_rows
+    # pow2 buckets below 16M rows, 16M-linear above; never smaller than n
+    assert pad(1) == 1024
+    assert pad(999_850) == 1 << 20
+    assert pad(16_000_000) == 1 << 24
+    assert pad(100_000_000) == -(-100_000_000 // (1 << 24)) * (1 << 24)
+    for n in (1 << 20, 50_000_000, 120_000_000):
+        assert pad(n) >= n
+
+    # carry layout: rank + payload chunk must fit an int32 word for a
+    # 120M-row table with a large batch and thousands of genome sets
+    n_queries = 16384 * 130
+    pb, gc_bits, payload_bits, n_words, gc_cap = _carry_layout(
+        pad(120_000_000), n_queries, num_sets=4096, max_genome_count=512)
+    assert pb >= 1 and n_words >= 1
+    assert gc_cap == 512  # counts up to R are exact
+    # the full payload reconstructs from n_words pb-bit chunks
+    assert n_words * pb >= payload_bits
+
+    # HBM budget: a 100 Mbp DB's sorted table is 16 B/key -- fits a v5e
+    # chip (16 GB) with room for the batch working set
+    rows = pad(100_000_000)
+    assert rows * 16 < 2 * 1024**3
+
+
+def test_sharded_pad_at_16m_keys():
+    """pad_table_for_sharding at a 16M-key table: pads are inert rows
+    (max key, gc 0) and every shard gets an equal contiguous range."""
+    import numpy as np
+
+    from shotgun_tpu.parallel.table_sharded import pad_table_for_sharding
+
+    u = 16_000_001  # deliberately not divisible by 8
+    klo = np.arange(u, dtype=np.uint32)
+    khi = np.zeros(u, dtype=np.uint32)
+    sid = np.zeros(u, dtype=np.int32)
+    gc = np.ones(u, dtype=np.int32)
+    tab = pad_table_for_sharding((klo, khi, sid, gc), 8)
+    up = tab.klo.shape[0]
+    assert up % 8 == 0 and up >= u
+    assert (np.asarray(tab.gc[u:]) == 0).all()
+    assert (np.asarray(tab.klo[u:]) == np.uint32(0xFFFFFFFF)).all()
