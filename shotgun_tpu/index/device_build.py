@@ -64,6 +64,31 @@ class DeviceBuildOut(NamedTuple):
     first_seen: jnp.ndarray  # int32 [W] global scan index of first occ
 
 
+def _segmented_or_scan(new, vals):
+    """Inclusive segmented OR scan: segments start where ``new`` is True;
+    vals[j][i] becomes the OR of its segment's elements up to i.
+
+    Classic flag-carrying doubling: at distance d, an element absorbs its
+    d-left neighbor unless a segment head sits at or before the gap, and
+    head flags propagate the same way.  O(log n) steps of shifts + ORs --
+    each step is constant HLO, so compile time is flat in n (unlike
+    jax.lax.associative_scan on TPU)."""
+    n = int(new.shape[0])
+    flag = new
+    vals = tuple(vals)
+    d = 1
+    while d < n:
+        def sh(x, fill):
+            return jnp.concatenate(
+                [jnp.full(d, fill, x.dtype), x[:-d]])
+        shifted = tuple(sh(v, 0) for v in vals)
+        vals = tuple(
+            jnp.where(flag, v, v | sv) for v, sv in zip(vals, shifted))
+        flag = flag | sh(flag, True)
+        d *= 2
+    return vals
+
+
 def _build_sorted_core(codes: jnp.ndarray,  # uint8 [Gp] base codes, N/pad=4
                        rec_start: jnp.ndarray,  # int32 [Gp] record starts
                        *, k: int) -> DeviceBuildOut:
@@ -110,24 +135,18 @@ def _build_sorted_core(codes: jnp.ndarray,  # uint8 [Gp] base codes, N/pad=4
 
     # genome-set mask words + first-seen, one segmented OR scan: only a
     # group's start row contributes its first-seen (0 elsewhere), every
-    # row contributes its record bit, and the combine resets at starts --
-    # the group's LAST row holds the full OR
+    # row contributes its record bit, and the scan resets at starts --
+    # the group's LAST row holds the full OR.  Hand-rolled log-step
+    # doubling (Hillis-Steele with segment flags) instead of
+    # jax.lax.associative_scan, whose XLA compile time explodes with
+    # array size on TPU (measured: 67 s at 2^20 rows, >300 s at 2^23;
+    # this form compiles flat).
     bit = (rec_s & jnp.int32(31)).astype(jnp.uint32)
     m_lo = jnp.where(rec_s < 32, jnp.uint32(1) << bit, jnp.uint32(0))
     m_hi = jnp.where(rec_s >= 32, jnp.uint32(1) << bit, jnp.uint32(0))
     fs_w = jnp.where(new, idx_s, 0).astype(jnp.uint32)
 
-    def seg_or(a, b):
-        a_new, a_lo, a_hi, a_fs = a
-        b_new, b_lo, b_hi, b_fs = b
-        keep = ~b_new
-        return (a_new | b_new,
-                jnp.where(keep, a_lo | b_lo, b_lo),
-                jnp.where(keep, a_hi | b_hi, b_hi),
-                jnp.where(keep, a_fs | b_fs, b_fs))
-
-    _, or_lo, or_hi, fs_or = jax.lax.associative_scan(
-        seg_or, (new, m_lo, m_hi, fs_w))
+    or_lo, or_hi, fs_or = _segmented_or_scan(new, (m_lo, m_hi, fs_w))
     is_last = jnp.concatenate([~prev_same[1:], jnp.ones(1, dtype=bool)])
     last = live & is_last
 
