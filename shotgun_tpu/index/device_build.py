@@ -89,15 +89,27 @@ def _segmented_or_scan(new, vals):
     return vals
 
 
-def _build_sorted_core(codes: jnp.ndarray,  # uint8 [Gp] base codes, N/pad=4
+def _build_sorted_core(codes2: jnp.ndarray,    # uint8 [Gp/4] 2-bit packed
+                       nmask: jnp.ndarray,     # uint8 [Gp/8] N/pad bitmask
                        rec_start: jnp.ndarray,  # int32 [Gp] record starts
                        *, k: int) -> DeviceBuildOut:
-    """Passes 1-4: windows -> sorted groups -> compacted distinct rows."""
-    g = codes.shape[0]
+    """Passes 1-4: windows -> sorted groups -> compacted distinct rows.
+
+    Genomes arrive 2-bit packed plus an N/pad bitmask (0.375 B/base
+    upload vs 1 B/base -- the tunnel upload capped the build rate); N
+    positions carry garbage 2-bit codes that the validity mask excludes,
+    exactly like the read path's packed plane."""
+    g = int(codes2.shape[0]) * 4
     w = g - k + 1
 
-    # rolling encode (same shift ladder as the probe path)
-    c32 = codes.astype(jnp.uint32) & jnp.uint32(3)
+    # device-side unpack (same layout as ops.encode.unpack_codes_2bit)
+    u = codes2.astype(jnp.uint32)[:, None]
+    shifts = jnp.arange(4, dtype=jnp.uint32)[None, :] * jnp.uint32(2)
+    c32 = ((u >> shifts) & jnp.uint32(3)).reshape(g)
+    nb = nmask.astype(jnp.uint32)[:, None]
+    bshifts = jnp.arange(8, dtype=jnp.uint32)[None, :]
+    bad = ((nb >> bshifts) & jnp.uint32(1)).astype(jnp.int32).reshape(g)
+
     lo = jnp.zeros(w, dtype=jnp.uint32)
     hi = jnp.zeros(w, dtype=jnp.uint32)
     for j in range(k):
@@ -106,7 +118,6 @@ def _build_sorted_core(codes: jnp.ndarray,  # uint8 [Gp] base codes, N/pad=4
         lo = (lo << jnp.uint32(2)) | c
     # validity: no N/pad byte inside the window, no record start strictly
     # inside it (a window belongs to the record its first base is in)
-    bad = (codes >= jnp.uint8(4)).astype(jnp.int32)
     cs_bad = jnp.cumsum(bad)
     bad_in = cs_bad[k - 1:] - jnp.concatenate(
         [jnp.zeros(1, jnp.int32), cs_bad[: w - 1]])
@@ -219,12 +230,19 @@ SMAX = 4096
 
 
 @functools.partial(jax.jit, static_argnames=("k", "u_pad"))
-def _build_tables(codes, rec_start, *, k: int, u_pad: int):
+def _build_tables(codes, nmask, offsets, *, k: int, u_pad: int):
     """Single-dispatch build: passes 1-5 fused.  ``u_pad`` is sized from
     the window count (>= the distinct-k-mer count by construction), so no
     mid-pipeline scalar fetch is needed -- on the tunneled runtime every
-    fetch is a full RPC round trip and dominated the two-dispatch form."""
-    out = _build_sorted_core(codes, rec_start, k=k)
+    fetch is a full RPC round trip and dominated the two-dispatch form.
+
+    ``offsets``: int32 [65] record-start positions (padded by repeating
+    the end-of-genomes position, which lands in the N-sentinel pad region
+    where every window is invalid anyway) -- the [Gp] record-start plane
+    builds on device, because shipping it as int32 was 4 B/base of
+    upload and capped the build at ~13 Mbp/s over the tunnel."""
+    rec_start = jnp.zeros(codes.shape[0] * 4, jnp.int32).at[offsets].set(1)
+    out = _build_sorted_core(codes, nmask, rec_start, k=k)
     klo, khi, sid, gc, fs, num_sets, set_mlo, set_mhi = _finish_table_core(
         out, u_pad=u_pad)
     return (klo, khi, sid, gc, fs, out.num_kmers, num_sets,
@@ -249,16 +267,27 @@ def device_build_tables(genomes, k: int, pad_rows) -> Optional[dict]:
     if k > 31 or genomes.num_records > 64 or genomes.codes.size < k:
         return None
     g = int(genomes.codes.size)
-    gp = pad_rows(g + k - 1, lo=4096)
+    # at least one N-sentinel pad byte even at k == 1, so the offsets
+    # padding position g is always inside the invalid region; gp is a
+    # multiple of 8 by construction (pow2/2^24-multiple buckets >= 4096)
+    gp = pad_rows(g + max(k - 1, 1), lo=4096)
     codes = np.full(gp, 4, dtype=np.uint8)  # pad bytes act like N
     codes[:g] = genomes.codes
-    rec_start = np.zeros(gp, dtype=np.int32)
-    rec_start[genomes.offsets[:-1]] = 1
+    # transfer diet: 2-bit pack + N/pad bitmask (0.375 B/base upload)
+    cq = codes.reshape(-1, 4)
+    codes2 = (cq[:, 0] & 3) | ((cq[:, 1] & 3) << 2) \
+        | ((cq[:, 2] & 3) << 4) | ((cq[:, 3] & 3) << 6)
+    nmask = np.packbits(codes >= 4, bitorder="little")
+    # record starts, padded to a fixed 65 entries with the end position
+    # (inside the N pad region: every window there is invalid, so the
+    # spurious "start" can never change a real window's record id)
+    offsets = np.full(65, g, dtype=np.int32)
+    offsets[: genomes.num_records] = genomes.offsets[:-1]
     u_pad = pad_rows(gp - k + 1)
 
     klo, khi, sid, gc, fs, num_kmers_d, num_sets_d, set_mlo, set_mhi = \
-        _build_tables(jnp.asarray(codes), jnp.asarray(rec_start),
-                      k=k, u_pad=u_pad)
+        _build_tables(jnp.asarray(codes2), jnp.asarray(nmask),
+                      jnp.asarray(offsets), k=k, u_pad=u_pad)
     # ONE fetch: scalars + the (truncated) set-mask table together
     u, s, mlo_h, mhi_h = jax.device_get(
         (num_kmers_d, num_sets_d, set_mlo, set_mhi))
