@@ -287,7 +287,8 @@ def build_reference_align_and_dump(
     kmer_reference = None
     if (not filter_similar and mesh is None
             and os.environ.get("SHOTGUN_TPU_DEVICE_BUILD", "1") == "1"
-            and os.environ.get("SHOTGUN_TPU_PROBE", "sort") == "sort"):
+            and os.environ.get("SHOTGUN_TPU_PROBE", "auto")
+            in ("auto", "sort")):
         # device-side DB build (index/device_build.py): the probe table
         # assembles on the TPU with the align path's own sort machinery
         # and never materializes host postings -- dumpalign needs only
@@ -301,9 +302,14 @@ def build_reference_align_and_dump(
         genomes = (container.to_genome_arrays()
                    if hasattr(container, "to_genome_arrays")
                    else pack_genomes(list(container)))
-        with phase("db_build_device"):
-            kmer_reference = KmerReference.from_device_build(
-                genomes, kmer_size)
+        if genomes.codes.size <= KmerReference.AUTO_HASH_MIN_KEYS:
+            # big corpora go to the host builder so the auto probe can
+            # pick the table-size-independent hash path (the device
+            # build emits the sorted table, whose per-batch join cost
+            # scales with the table)
+            with phase("db_build_device"):
+                kmer_reference = KmerReference.from_device_build(
+                    genomes, kmer_size)
     if kmer_reference is None:
         kmer_reference = create_reference(
             fasta_file, kmer_size, filter_similar, similarity_threshold

@@ -28,9 +28,11 @@ EMPTY = np.uint32(0xFFFFFFFF)
 STASH_CAP = 64
 
 #: initial expected keys-per-bucket by slot width -- sized so bucket
-#: overflow (-> stash) is vanishingly rare; measured on v5e, gather cost
-#: scales with row bytes, so narrow buckets + low load wins
-_TARGET_LAMBDA = {2: 0.03, 4: 0.25, 8: 2.0, 16: 6.0}
+#: overflow (-> stash) is vanishingly rare; measured on v5e the row
+#: gather is latency-bound (~30 ns/row regardless of row width), so
+#: narrow buckets + low load win for small tables while wide buckets +
+#: high load (64 B/key at 16 slots) keep 100M-key tables inside HBM
+_TARGET_LAMBDA = {2: 0.03, 4: 0.25, 8: 2.0, 16: 4.0}
 
 
 @dataclass

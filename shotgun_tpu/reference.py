@@ -367,15 +367,23 @@ class KmerReference:
             return 1 << (n - 1).bit_length()
         return -(-n // linear_past) * linear_past
 
+    #: auto probe crossover: the sort-merge join re-sorts the TABLE rows
+    #: into every batch (cost ~ (U + B*W) * 9 ns/row on v5e), while the
+    #: hash gather costs ~30 ns/query regardless of U -- measured
+    #: crossover is ~8M keys at B=16384 (r4 bulk proof: a 100M-key DB ran
+    #: 11k reads/s on sort vs ~140-250k on hash)
+    AUTO_HASH_MIN_KEYS = 8_000_000
+
     def device_probe_tables(self, method: Optional[str] = None):
         """Device probe structure for the align pipeline.
 
-        'sort' (default): gather-free sort-merge probe -- fastest measured
-        on v5e and only 16B/key.  'hash': bucketized single-gather table
-        (~268B/key); kept for workloads where batch << table size; its
-        (lo, hi) slot layout supports k <= 31 only -- larger k always uses
-        the multi-word sorted table (any key width).
-        ``method`` defaults to env SHOTGUN_TPU_PROBE or 'sort'."""
+        'auto' (default): 'sort' below ``AUTO_HASH_MIN_KEYS`` distinct
+        k-mers, 'hash' above (k <= 31 only -- larger k always uses the
+        multi-word sorted table).  'sort': gather-free sort-merge probe,
+        fastest for small/medium tables and only 16 B/key.  'hash':
+        bucketized single-gather table whose probe cost is independent of
+        the table size (16-slot dense layout, 64 B/key, for the auto big
+        path).  ``method`` defaults to env SHOTGUN_TPU_PROBE or 'auto'."""
         import jax.numpy as jnp
 
         from shotgun_tpu.ops.probe import HashTableDev
@@ -386,7 +394,14 @@ class KmerReference:
             sorted_table_host_words,
         )
 
-        method = method or os.environ.get("SHOTGUN_TPU_PROBE", "sort")
+        method = method or os.environ.get("SHOTGUN_TPU_PROBE", "auto")
+        if method == "auto":
+            big = (self.index.num_kmers > self.AUTO_HASH_MIN_KEYS
+                   and self.index.k <= 31
+                   # device-built references carry no host key arrays;
+                   # they are gated to the sort path at build time
+                   and not isinstance(self.index, _DeviceIndexStub))
+            method = "hash16" if big else "sort"
         # cache per method: rebuilding + re-uploading the table (16 B/key
         # -> tens of MB) on every align call costs ~0.5 s over the remote
         # device link -- reference data is built once, aligned many times
@@ -430,7 +445,13 @@ class KmerReference:
                 sid=jnp.asarray(sid), gc=jnp.asarray(gc),
             )
         else:
-            pt = self.probe_table()
+            if method == "hash16":
+                idx = self.index
+                pt = build_probe_table(
+                    idx.kmer_lo, idx.kmer_hi, idx.set_id,
+                    idx.genome_counts(), slots_per_bucket=16)
+            else:
+                pt = self.probe_table()
             # stash rows are compared all-lanes; pad to the fixed cap with
             # unreachable all-ones keys so the executable shape is stable
             stash = pt.stash

@@ -239,3 +239,57 @@ def test_sharded_pad_at_16m_keys():
     assert up % 8 == 0 and up >= u
     assert (np.asarray(tab.gc[u:]) == 0).all()
     assert (np.asarray(tab.klo[u:]) == np.uint32(0xFFFFFFFF)).all()
+
+
+def test_auto_probe_picks_hash_for_big_tables(monkeypatch):
+    """Probe auto-selection: big k<=31 tables get the 16-slot hash table
+    (probe cost independent of table size -- r4 bulk proof measured the
+    sort join collapsing 90x at 100M keys), small ones the sort join;
+    both produce identical aggregation."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from shotgun_tpu.models.pipeline import align_batch
+    from shotgun_tpu.ops.probe import HashTableDev
+    from shotgun_tpu.ops.probe_sort import SortedTableDev
+    from shotgun_tpu.reference import KmerReference
+    from shotgun_tpu.index.build import build_index
+    from shotgun_tpu.ops.encode import pack_codes_2bit
+    from shotgun_tpu.utils.synth import synth_genomes, synth_reads
+
+    rng = np.random.default_rng(9)
+    genomes = synth_genomes(rng, 3, 4_000)
+    idx = build_index(genomes, 21)
+    ref = KmerReference(21, _index=idx)
+    assert isinstance(ref.device_probe_tables("auto"), SortedTableDev)
+
+    monkeypatch.setattr(KmerReference, "AUTO_HASH_MIN_KEYS", 100)
+    ref2 = KmerReference(21, _index=idx)
+    tab_h = ref2.device_probe_tables("auto")
+    assert isinstance(tab_h, HashTableDev)
+    assert tab_h.table.shape[1] == 16  # dense big-table layout
+    assert tab_h.stash.shape[0] == 64  # fixed stash shape bucket
+
+    reads = synth_reads(rng, genomes, 64, 60)
+    member = jnp.asarray(ref.set_member_dense())
+    lpad = 64
+    codes = np.zeros((64, lpad), dtype=np.uint8)
+    codes[:, :60] = reads.codes
+    cp = jnp.asarray(pack_codes_2bit(codes))
+    qd = jnp.asarray(np.zeros((64, 1), np.uint8))
+    ld = jnp.asarray(reads.lengths)
+    rv = jnp.asarray(np.ones(64, bool))
+    one, z = jnp.int32(1), jnp.int32(0)
+    kw = dict(k=21, has_mrq=False, has_mkq=False, has_mg=False,
+              packed=True, with_aggregate=True)
+    _, a_sort = align_batch(ref.device_probe_tables("sort"), member,
+                            cp, qd, ld, rv, one, one, z, z, z, **kw)
+    _, a_hash = align_batch(tab_h, member, cp, qd, ld, rv,
+                            one, one, z, z, z, **kw)
+    assert int(a_sort.n_unique) == int(a_hash.n_unique)
+    assert int(a_sort.n_ambiguous) == int(a_hash.n_ambiguous)
+    assert int(a_sort.n_unmapped) == int(a_hash.n_unmapped)
+    np.testing.assert_array_equal(np.asarray(a_sort.unique_by_rec),
+                                  np.asarray(a_hash.unique_by_rec))
+    np.testing.assert_array_equal(np.asarray(a_sort.first_key),
+                                  np.asarray(a_hash.first_key))
