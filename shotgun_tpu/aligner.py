@@ -646,11 +646,9 @@ class PseudoAlignment:
         from shotgun_tpu.models.pipeline import (
             align_fold_batch,
             align_fold_superbatch,
-            fold_agg_device,
             init_fold_carry,
         )
         from shotgun_tpu.ops.encode import pack_codes_2bit
-        from shotgun_tpu.ops.probe import HashTableDev
 
         use_qual = (min_read_quality is not None
                     or min_kmer_quality is not None)
@@ -658,7 +656,10 @@ class PseudoAlignment:
         # no quality gate -> ship the zero dummy plane ONCE; every per-
         # batch transfer is an RPC on the remote-dispatch runtime
         dummy_qual_dev = None if use_qual else jnp.asarray(dummy_qual)
-        fused = not isinstance(probe_tab, HashTableDev)
+        # both probe families stream through the fused one-dispatch fold:
+        # the hash gather stays a standalone kernel inside the fused
+        # program via optimization_barrier fences (ops/probe.py)
+        fused = True
         # superbatching (fused path only): fill S sub-batches contiguously
         # and ship them as ONE [S, b, ...] transfer + ONE lax.scan dispatch
         # -- divides the per-batch RPC count by S on remote-dispatch

@@ -530,8 +530,9 @@ def align_fold_batch(
     ``row_valid`` is derived on device as ``lengths > 0``: the FASTQ
     grammar requires a nonempty sequence line (reference records.py:262),
     so zero-length rows are exactly the tail padding of the final chunk.
-    Sorted-table probes only (the hash probe must keep its standalone
-    gather dispatch -- see module docstring).
+    Works for both probe families: the hash path's row gather stays a
+    standalone kernel inside the fused program via optimization_barrier
+    fences (ops/probe.py probe_kmers).
     """
     row_valid = lengths > jnp.int32(0)
     res = align_batch_core(

@@ -150,12 +150,18 @@ def probe_kmers(
     lo: jnp.ndarray,         # uint32 [B, W]
     hi: jnp.ndarray,         # uint32 [B, W]
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Fused probe (gather + resolve in one trace) -- test/CPU form.
+    """Fused probe (gather + resolve in one trace).
 
-    The TPU pipeline uses hash_probe_gather + resolve_rows instead (see
-    module docstring for why the gather must stay standalone).
+    ``optimization_barrier`` fences keep the row gather a standalone
+    kernel inside larger jits -- without them XLA fuses the gather with
+    its elementwise consumers into a loop fusion that runs ~300x slower
+    (see module docstring).  A/B on v5e: barrier-fenced fused == the
+    two-dispatch split (65.6 vs 67.5 ms per 16384x130 batch), so the
+    streaming fold programs can trace this form directly.
     """
     n_buckets = table.shape[0]
     bidx = (mix32(lo, hi, jnp) & jnp.uint32(n_buckets - 1)).astype(jnp.int32)
-    rows = jnp.take(table, bidx, axis=0)  # [B, W, slots, 4]
+    bidx_b = jax.lax.optimization_barrier(bidx)
+    rows = jnp.take(table, bidx_b, axis=0)  # [B, W, slots, 4]
+    rows = jax.lax.optimization_barrier(rows)
     return resolve_rows(rows, bidx, stash, lo, hi)
