@@ -421,7 +421,7 @@ def _warm_compile_probe():
             t0 = time.perf_counter()
             try:
                 out = subprocess.run(cmd, capture_output=True, text=True,
-                                     timeout=300, env=env)
+                                     timeout=560, env=env)
             except subprocess.TimeoutExpired:
                 result[f"{label}_s"] = None
                 result["error"] = f"{label} run timed out"
