@@ -187,7 +187,70 @@ def main():
     log(f"end-to-end stream (parse+align+summary): "
         f"{e2e_reads_per_s:,.0f} reads/s ({e2e_s:.2f}s, best of 5)")
 
+    # per-stage device profile of the default path (VERDICT r3 #5): is
+    # XLA at the bound, and where does align time go?  Times each stage
+    # as its own jitted program on data already on device.
+    stage_ms = {}
+    try:
+        from shotgun_tpu.models import pipeline as _pl
+        from shotgun_tpu.ops.encode import (
+            rolling_encode_jnp, unpack_codes_2bit)
+        from shotgun_tpu.ops.probe_sort import SortedTableDev
+        from shotgun_tpu.ops.probe_sort2 import probe_dedupe_sorted
+
+        if isinstance(probe_tab, SortedTableDev):
+            from shotgun_tpu.ops.encode import pack_codes_2bit as _pk
+
+            lpad = ((READ_LEN + 31) // 32) * 32
+            c0 = np.zeros((BATCH, lpad), dtype=np.uint8)
+            c0[:, :READ_LEN] = reads.codes[:BATCH]
+            cp_d = jnp.asarray(_pk(c0))
+            len_d = jnp.asarray(reads.lengths[:BATCH])
+            q_d = jnp.asarray(np.zeros((BATCH, 1), np.uint8))
+
+            def timed(fn, *args, iters=8):
+                jfn = jax.jit(fn)
+                jax.block_until_ready(jfn(*args))
+                t0 = time.perf_counter()
+                out = None
+                for _ in range(iters):
+                    out = jfn(*args)
+                jax.block_until_ready(out)
+                return (time.perf_counter() - t0) / iters * 1e3
+
+            def enc(cp, ln):
+                c = unpack_codes_2bit(cp)
+                lo, hi = rolling_encode_jnp(c, K)
+                ok = _pl._window_ok(q_d, ln, K, c.shape[1] - K + 1,
+                                    zero, False)
+                return lo, hi, ok
+            stage_ms["encode"] = round(timed(enc, cp_d, len_d), 3)
+            lo, hi, okm = jax.jit(enc)(cp_d, len_d)
+
+            def probe(lo, hi, ok):
+                return probe_dedupe_sorted(
+                    probe_tab, lo, hi, ok, num_sets=member.shape[0],
+                    max_genome_count=member.shape[1])
+            stage_ms["probe_sort_join"] = round(timed(probe, lo, hi, okm), 3)
+            hit, sid_q, gc_q, focc = jax.jit(probe)(lo, hi, okm)
+
+            def classify(hit, sid_q, gc_q, focc, ln):
+                return _pl.core_from_probe(
+                    (hit, sid_q, gc_q, None), member_d, q_d, ln,
+                    one, one, zero, zero, zero, k=K, has_mrq=False,
+                    has_mkq=False, has_mg=False, pre_first_occ=focc)
+            stage_ms["classify"] = round(
+                timed(classify, hit, sid_q, gc_q, focc, len_d), 3)
+            res0 = jax.jit(classify)(hit, sid_q, gc_q, focc, len_d)
+            rv0 = jnp.ones(BATCH, dtype=bool)
+            stage_ms["aggregate"] = round(
+                timed(_pl.aggregate_batch, res0, rv0), 3)
+            log(f"stage profile (ms/batch of {BATCH}): {stage_ms}")
+    except Exception as exc:
+        log(f"stage profile failed: {exc!r}")
+
     extra = {
+        "stage_profile_ms": stage_ms,
         "end_to_end_reads_per_sec": round(e2e_reads_per_s, 1),
         "kmer_probes_per_sec": round(probes_per_s, 1),
         "db_build_mbp_per_sec": round(total_mbp / build_s, 2),

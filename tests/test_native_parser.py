@@ -361,3 +361,50 @@ def test_vpacked_valid_multichunk_thread_split():
         assert (lengths[:got] == 32).all()
         tot += got
     assert tot == n
+
+
+def test_prefetch_iter_consumer_abandon_cleanup():
+    """ADVICE r3 #2: abandoning the consumer mid-stream must cancel the
+    producer (no blocked put), drain the queue, and close the source."""
+    import threading
+    import time
+
+    from shotgun_tpu.aligner import _prefetch_iter
+
+    closed = {"v": False}
+    produced = {"n": 0}
+
+    def source():
+        try:
+            for i in range(1000):
+                produced["n"] += 1
+                yield i
+        finally:
+            closed["v"] = True
+
+    start_threads = threading.active_count()
+    it = _prefetch_iter(source(), depth=2)
+    got = [next(it), next(it)]
+    assert got == [0, 1]
+    it.close()  # consumer abandons: generator finally runs
+    deadline = time.time() + 5.0
+    while threading.active_count() > start_threads and time.time() < deadline:
+        time.sleep(0.01)
+    assert threading.active_count() <= start_threads
+    assert closed["v"], "source generator must be closed on abandon"
+    # bounded production: the producer stopped near the queue depth
+    assert produced["n"] < 100
+
+
+def test_prefetch_iter_propagates_source_error():
+    from shotgun_tpu.aligner import _prefetch_iter
+
+    def source():
+        yield 1
+        raise ValueError("boom")
+
+    it = _prefetch_iter(source(), depth=2)
+    assert next(it) == 1
+    with pytest.raises(ValueError, match="boom"):
+        for _ in it:
+            pass
