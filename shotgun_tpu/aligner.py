@@ -730,16 +730,23 @@ class PseudoAlignment:
                 has_mkq=min_kmer_quality is not None,
                 has_mg=max_genomes is not None,
             )
+            zero_len = jnp.zeros((), jnp.int32)  # unused under len_in_codes
             for codes_p, qual, lengths, got in chunk_iter:
+                # one combined upload per chunk: lengths ride as 4 byte
+                # columns appended to the packed codes (every separate
+                # host->device array is an RPC on the tunneled runtime)
+                combined = np.concatenate(
+                    [codes_p, lengths.astype("<i4").view(np.uint8)
+                     .reshape(codes_p.shape[0], 4)], axis=1)
                 if sb > 1:
                     carry = align_fold_superbatch(
                         carry, probe_tab, member_dev,
-                        jnp.asarray(codes_p.reshape(sb, b, -1)),
+                        jnp.asarray(combined.reshape(sb, b, -1)),
                         (jnp.asarray(qual.reshape(sb, b, -1))
                          if use_qual else dummy_qual_dev),
-                        jnp.asarray(lengths.reshape(sb, b)),
+                        zero_len,
                         m_t, p_t, mrq_t, mkq_t, mg_t,
-                        k=k, packed=True, **has,
+                        k=k, packed=True, len_in_codes=True, **has,
                     )
                     n_batches += sb
                     continue
@@ -748,10 +755,10 @@ class PseudoAlignment:
                 if fused:
                     carry = align_fold_batch(
                         carry, probe_tab, member_dev,
-                        jnp.asarray(codes_p), qual_dev,
-                        jnp.asarray(lengths),
+                        jnp.asarray(combined), qual_dev,
+                        zero_len,
                         m_t, p_t, mrq_t, mkq_t, mg_t,
-                        k=k, packed=True, **has,
+                        k=k, packed=True, len_in_codes=True, **has,
                     )
                 else:
                     row_valid = np.zeros(b, dtype=bool)

@@ -499,9 +499,22 @@ def fold_agg_device(carry: FoldCarry, agg: AggResult) -> FoldCarry:
     return _fold_agg(carry, agg)
 
 
+
+def _split_len_cols(codes_ext: jnp.ndarray):
+    """Split a combined transfer buffer: the last 4 byte-columns carry
+    each row's int32 length (little-endian).  Shipping lengths inside the
+    codes upload halves the per-chunk host->device RPC count on the
+    tunneled runtime."""
+    lb = codes_ext[..., -4:].astype(jnp.int32)
+    lengths = (lb[..., 0] | (lb[..., 1] << 8) | (lb[..., 2] << 16)
+               | (lb[..., 3] << 24))
+    return codes_ext[..., :-4], lengths
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "has_mrq", "has_mkq", "has_mg", "packed"),
+    static_argnames=("k", "has_mrq", "has_mkq", "has_mg", "packed",
+                     "len_in_codes"),
     donate_argnums=(0,),
 )
 def align_fold_batch(
@@ -518,6 +531,7 @@ def align_fold_batch(
     has_mkq: bool,
     has_mg: bool,
     packed: bool = False,
+    len_in_codes: bool = False,
 ) -> FoldCarry:
     """ONE dispatch per streamed batch: align + aggregate + fold.
 
@@ -534,6 +548,8 @@ def align_fold_batch(
     standalone kernel inside the fused program via optimization_barrier
     fences (ops/probe.py probe_kmers).
     """
+    if len_in_codes:
+        codes, lengths = _split_len_cols(codes)
     row_valid = lengths > jnp.int32(0)
     res = align_batch_core(
         probe_tab, set_member, codes, qual, lengths, m, p, mrq, mkq, mg,
@@ -544,7 +560,8 @@ def align_fold_batch(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "has_mrq", "has_mkq", "has_mg", "packed"),
+    static_argnames=("k", "has_mrq", "has_mkq", "has_mg", "packed",
+                     "len_in_codes"),
     donate_argnums=(0,),
 )
 def align_fold_superbatch(
@@ -561,6 +578,7 @@ def align_fold_superbatch(
     has_mkq: bool,
     has_mg: bool,
     packed: bool = False,
+    len_in_codes: bool = False,
 ) -> FoldCarry:
     """S streamed sub-batches in ONE dispatch: ``lax.scan`` of the fused
     align+aggregate+fold body over the leading axis.
@@ -578,25 +596,98 @@ def align_fold_superbatch(
     ``qual`` may be the shared [B, 1] device-resident dummy when no
     quality gate consumes it (rank 2 -> closed over as a scan constant
     instead of scanned, so the host never ships a per-superbatch plane).
+
+    Sorted-table probes whose table DOMINATES the per-batch join
+    additionally share ONE sort-join across the whole superbatch: the
+    static table rows ride the join once per dispatch (u + S*B*W rows)
+    instead of once per sub-batch (S * (u + B*W)) -- at the 8M-key
+    auto-switch boundary that is ~3x less sorted data.  Only the probe
+    is hoisted; classification and aggregation still scan per sub-batch
+    so the one-hot set reduction keeps its [B, chunk, W] working-set
+    shape.  For small tables the per-sub-batch join is faster (one huge
+    sort loses to S tuned-size sorts -- measured on v5e: 660k -> 391k
+    end-to-end reads/s at u = 1M when shared unconditionally), so
+    sharing engages only when u > 2 * B * W.
     """
+    if len_in_codes:
+        codes, lengths = _split_len_cols(codes)
     scan_qual = qual.ndim == 3
+    s, b = lengths.shape
+
+    probe_shared = None
+    n_words_c = codes.shape[2] * (4 if packed else 1)
+    u_rows = (int(probe_tab.klo.shape[0])
+              if isinstance(probe_tab, SortedTableDev)
+              else int(probe_tab.kws[0].shape[0])
+              if isinstance(probe_tab, SortedTableDevW) else 0)
+    share = u_rows > 2 * b * (n_words_c - k + 1)
+    if share and isinstance(probe_tab, (SortedTableDev, SortedTableDevW)):
+        flat_codes = codes.reshape(s * b, codes.shape[2])
+        flat_len = lengths.reshape(s * b)
+        if scan_qual:
+            flat_qual = qual.reshape(s * b, qual.shape[2])
+        else:
+            # gates are the only consumers; without them the window mask
+            # needs only lengths
+            flat_qual = jnp.zeros((s * b, 1), dtype=jnp.uint8)
+        fc = unpack_codes_2bit(flat_codes) if packed else flat_codes
+        w = fc.shape[1] - k + 1
+        kq_ok = _window_ok(flat_qual, flat_len, k, w, mkq, has_mkq)
+        if isinstance(probe_tab, SortedTableDevW):
+            from shotgun_tpu.ops.probe_sort2 import (
+                probe_dedupe_sorted_words,
+            )
+
+            qws = rolling_encode_words_jnp(fc, k)
+            pr = probe_dedupe_sorted_words(
+                probe_tab, qws, kq_ok,
+                num_sets=set_member.shape[0],
+                max_genome_count=set_member.shape[1],
+            )
+        else:
+            from shotgun_tpu.ops.probe_sort2 import probe_dedupe_sorted
+
+            lo, hi = rolling_encode_jnp(fc, k)
+            pr = probe_dedupe_sorted(
+                probe_tab, lo, hi, kq_ok,
+                num_sets=set_member.shape[0],
+                max_genome_count=set_member.shape[1],
+            )
+        probe_shared = tuple(x.reshape(s, b, w) for x in pr)
 
     def body(c, xs):
-        if scan_qual:
-            codes_b, qual_b, len_b = xs
+        if probe_shared is not None:
+            if scan_qual:
+                hit_b, sid_b, gc_b, focc_b, qual_b, len_b = xs
+            else:
+                hit_b, sid_b, gc_b, focc_b, len_b = xs
+                qual_b = qual
+            res = core_from_probe(
+                (hit_b, sid_b, gc_b, None), set_member, qual_b, len_b,
+                m, p, mrq, mkq, mg,
+                k=k, has_mrq=has_mrq, has_mkq=has_mkq, has_mg=has_mg,
+                pre_first_occ=focc_b,
+            )
         else:
-            codes_b, len_b = xs
-            qual_b = qual
+            if scan_qual:
+                codes_b, qual_b, len_b = xs
+            else:
+                codes_b, len_b = xs
+                qual_b = qual
+            res = align_batch_core(
+                probe_tab, set_member, codes_b, qual_b, len_b,
+                m, p, mrq, mkq, mg,
+                k=k, has_mrq=has_mrq, has_mkq=has_mkq, has_mg=has_mg,
+                packed=packed,
+            )
         row_valid = len_b > jnp.int32(0)
-        res = align_batch_core(
-            probe_tab, set_member, codes_b, qual_b, len_b,
-            m, p, mrq, mkq, mg,
-            k=k, has_mrq=has_mrq, has_mkq=has_mkq, has_mg=has_mg,
-            packed=packed,
-        )
         return _fold_agg(c, aggregate_batch(res, row_valid)), None
 
-    xs = (codes, qual, lengths) if scan_qual else (codes, lengths)
+    if probe_shared is not None:
+        xs = ((*probe_shared, qual, lengths) if scan_qual
+              else (*probe_shared, lengths))
+    else:
+        xs = (codes, qual, lengths) if scan_qual else (codes, lengths)
     carry, _ = jax.lax.scan(body, carry, xs)
     return carry
 
