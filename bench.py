@@ -171,7 +171,7 @@ def main():
     # tunneled runtime's RPC latency swings run-to-run by 2x (r4
     # measurement: 0.52s..1.4s for identical work), and the metric claims
     # steady-state throughput, not tunnel weather.
-    e2e_s = float("inf")
+    pass_times = []
     for rep in range(5):
         t0 = time.perf_counter()
         stream = open_fastq_stream(fq_path, lazy=True)
@@ -182,10 +182,61 @@ def main():
         n_uniq = summary["Statistics"]["unique_mapped_reads"]
         log(f"end-to-end stream pass {rep + 1}: {rep_s:.2f}s "
             f"({N_READS / rep_s:,.0f} reads/s, unique={n_uniq})")
-        e2e_s = min(e2e_s, rep_s)
+        pass_times.append(rep_s)
+    # the tunneled runtime's RPC latency swings ~2x run-to-run; the
+    # MEDIAN is the honest steady-state number (VERDICT r4 next #5) --
+    # best-of-5 is recorded separately as the low-jitter bound
+    e2e_s = sorted(pass_times)[len(pass_times) // 2]
     e2e_reads_per_s = N_READS / e2e_s
+    e2e_best = N_READS / min(pass_times)
     log(f"end-to-end stream (parse+align+summary): "
-        f"{e2e_reads_per_s:,.0f} reads/s ({e2e_s:.2f}s, best of 5)")
+        f"{e2e_reads_per_s:,.0f} reads/s median of 5 "
+        f"(best {e2e_best:,.0f})")
+
+    # align TASK (store_reads=True) + dumpalign -a: the reference's
+    # primary workflow is align-then-dumpalign (reference RUN_LOG:13-61);
+    # this measures the .aln-producing path -- full parse with per-read id
+    # retention, per-read mapping-list store, .aln save, reload + summary
+    # (VERDICT r4 next #4).  Warm pass timed (executables already built).
+    align_task = {}
+    try:
+        from shotgun_tpu.io.data_file import FASTAQFile
+
+        aln_path = os.path.join(fq_dir, "bench.aln")
+        t0 = time.perf_counter()
+        container = FASTAQFile(fq_path).container
+        parse_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        alignment = PseudoAlignment(ref)
+        alignment.align_reads_from_container(
+            container, 1, 1, batch_size=BATCH, store_reads=True)
+        align_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        alignment.save(aln_path)
+        save_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        loaded = PseudoAlignment.load(aln_path)
+        summary2 = loaded.get_summary()
+        dump_s = time.perf_counter() - t0
+        assert summary2 == summary, "align-task summary != stream summary"
+        task_s = parse_s + align_s + save_s
+        align_task = {
+            "align_task_reads_per_sec": round(N_READS / task_s, 1),
+            "align_task_s": round(task_s, 2),
+            "align_task_parse_s": round(parse_s, 2),
+            "align_task_align_s": round(align_s, 2),
+            "align_task_save_s": round(save_s, 2),
+            "dumpalign_a_s": round(dump_s, 2),
+            "align_task_vs_stream": round(task_s / e2e_s, 2),
+        }
+        log(f"align task: parse {parse_s:.2f}s + align {align_s:.2f}s + "
+            f"save {save_s:.2f}s = {task_s:.2f}s "
+            f"({N_READS / task_s:,.0f} reads/s, "
+            f"{task_s / e2e_s:.2f}x stream); dumpalign -a {dump_s:.2f}s")
+        del container, alignment, loaded
+    except Exception as exc:
+        align_task = {"error": repr(exc)}
+        log(f"align task bench failed: {exc!r}")
 
     # per-stage device profile of the default path (VERDICT r3 #5): is
     # XLA at the bound, and where does align time go?  Times each stage
@@ -252,6 +303,8 @@ def main():
     extra = {
         "stage_profile_ms": stage_ms,
         "end_to_end_reads_per_sec": round(e2e_reads_per_s, 1),
+        "end_to_end_reads_per_sec_best": round(e2e_best, 1),
+        "e2e_pass_times_s": [round(t, 3) for t in pass_times],
         "kmer_probes_per_sec": round(probes_per_s, 1),
         "db_build_mbp_per_sec": round(total_mbp / build_s, 2),
         "db_build_vs_baseline": round(total_mbp / build_s / 0.05, 1),
@@ -259,6 +312,7 @@ def main():
             e2e_reads_per_s / BASELINE_READS_PER_SEC, 2),
         "compile_first_batch_s": round(compile_s, 2),
     }
+    extra.update(align_task)
 
     def emit():
         # the harness takes the LAST stdout line; print + flush NOW so a
@@ -345,11 +399,14 @@ def _run_sub(mode: str, timeout: int, env_extra=None):
 
 
 def _multichip_measure() -> dict:
-    """Sharded-align throughput over every visible device vs one device:
-    reads/s/chip and scaling efficiency via the production
-    ``align_aggregate_sharded`` path.  Runs on whatever mesh this process
-    sees -- real chips or the virtual CPU mesh (BENCH_MODE=multichip
-    child)."""
+    """WEAK-scaling sharded-align throughput: a fixed per-device read
+    count (BENCH_READS) on 1 device vs every visible device, via the
+    production ``align_aggregate_sharded`` path.  Weak scaling keeps the
+    per-device work identical across both legs, so ``scaling_efficiency``
+    measures collective/dispatch overhead rather than a fixed workload's
+    inability to amortize N-way dispatch (VERDICT r4 next #6).  Runs on
+    whatever mesh this process sees -- real chips or the virtual CPU mesh
+    (BENCH_MODE=multichip child)."""
     import jax
     import jax.numpy as jnp
 
@@ -363,20 +420,23 @@ def _multichip_measure() -> dict:
     from shotgun_tpu.reference import KmerReference
     from shotgun_tpu.utils.synth import synth_genomes, synth_reads
 
+    n_dev_all = len(jax.devices())
+    per_dev = N_READS
+    n_total = per_dev * n_dev_all
     rng = np.random.default_rng(3)
     genomes = synth_genomes(rng, N_GENOMES, GENOME_LEN)
-    reads = synth_reads(rng, genomes, N_READS, READ_LEN)
+    reads = synth_reads(rng, genomes, n_total, READ_LEN)
     idx = build_index(genomes, K)
     ref = KmerReference(K, _index=idx)
     probe_tab = ref.device_probe_tables("sort")
     member = ref.set_member_dense()
 
     lpad = ((READ_LEN + 31) // 32) * 32
-    codes = np.zeros((N_READS, lpad), dtype=np.uint8)
+    codes = np.zeros((n_total, lpad), dtype=np.uint8)
     codes[:, :READ_LEN] = reads.codes
     codes_p = pack_codes_2bit(codes)
-    qual = np.zeros((N_READS, 1), dtype=np.uint8)
-    valid = np.ones(N_READS, dtype=bool)
+    qual = np.zeros((n_total, 1), dtype=np.uint8)
+    valid = np.ones(n_total, dtype=bool)
     m_t = p_t = jnp.int32(1)
     z = jnp.int32(0)
 
@@ -387,7 +447,7 @@ def _multichip_measure() -> dict:
         rep = NamedSharding(mesh, P())
         tab_r = jax.tree.map(lambda a: jax.device_put(a, rep), probe_tab)
         mem_r = jax.device_put(member, rep)
-        b = (N_READS // len(devs)) * len(devs)
+        b = per_dev * len(devs)  # weak scaling: fixed per-device shard
         sh = shard_read_arrays(
             mesh, codes_p[:b], qual[:b], reads.lengths[:b], valid[:b])
         kw = dict(mesh=mesh, k=K, has_mrq=False, has_mkq=False,
@@ -410,6 +470,8 @@ def _multichip_measure() -> dict:
     eff = (rn / len(devs)) / r1
     out = {
         "n_devices": len(devs),
+        "reads_per_device": per_dev,
+        "scaling_mode": "weak",
         "reads_per_sec_1dev": round(r1, 1),
         "reads_per_sec_total": round(rn, 1),
         "reads_per_sec_per_chip": round(rn / len(devs), 1),
@@ -477,6 +539,10 @@ def _warm_compile_probe():
         open(fq, "w").write(to_fastq(reads))
         env = dict(os.environ)
         env["SHOTGUN_TPU_CACHE_DIR"] = os.path.join(td, "xla_cache")
+        # count XLA compiles + persistent-cache hits inside each run via
+        # jax.monitoring (utils/platform.enable_compile_stats): the warm
+        # run must prove compile_count_warm == 0 (VERDICT r4 next #1)
+        env["SHOTGUN_TPU_COMPILE_STATS"] = "1"
         cmd = [sys.executable, os.path.join(repo, "main.py"),
                "-t", "dumpalign", "-g", fa, "-k", str(K), "--reads", fq]
         outs = []
@@ -496,7 +562,23 @@ def _warm_compile_probe():
                                    f"{(out.stderr or '')[-300:]}")
                 return result
             outs.append(out.stdout)
-            log(f"warm-compile probe: {label} CLI dumpalign {dt:.2f}s")
+            stats = {}
+            for line in (out.stderr or "").splitlines():
+                if line.startswith("SHOTGUN_TPU_COMPILE_STATS "):
+                    try:
+                        stats = json.loads(
+                            line[len("SHOTGUN_TPU_COMPILE_STATS "):])
+                    except ValueError:
+                        pass
+            result[f"compile_count_{label}"] = stats.get("backend_compiles")
+            result[f"compile_secs_{label}"] = (
+                round(stats["backend_compile_secs"], 2)
+                if "backend_compile_secs" in stats else None)
+            result[f"cache_hits_{label}"] = stats.get("cache_hits")
+            log(f"warm-compile probe: {label} CLI dumpalign {dt:.2f}s "
+                f"(compiles={stats.get('backend_compiles')}, "
+                f"cache_hits={stats.get('cache_hits')}, "
+                f"compile_secs={stats.get('backend_compile_secs')})")
         result["output_identical"] = outs[0] == outs[1]
     return result
 

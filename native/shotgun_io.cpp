@@ -546,7 +546,11 @@ extern "C" int64_t stpu_fastq_vstream_next_packed(
   int64_t rec = 0;
   int64_t l0s, l0e;
   while (rec < max_records && next_line(d, n, &s->pos, &l0s, &l0e)) {
-    if (l0e <= l0s) continue;  // empty line: whitespace, allowed
+    // empty/whitespace line tolerance applies only BEFORE the first
+    // group: between groups the terminator check below (next line must
+    // open with '@') fires first, so blank separator lines are UNPARSED
+    // -- matching the regex engine (ADVICE.md r4 #4)
+    if (l0e <= l0s) continue;
     if (d[l0s] != '@') {
       // not a group head: the scan leaves it unmatched, so it must be
       // whitespace-only (UnparsedDataError otherwise)

@@ -26,6 +26,7 @@ import numpy as np
 
 from shotgun_tpu.index.build import rolling_encode_words, sort_keys_from_words
 from shotgun_tpu.io.packing import ReadBatch, encode_bases, pack_reads
+from shotgun_tpu.errors import UserInputError
 from shotgun_tpu.io.records import SeqRecord
 from shotgun_tpu.reference import KDBFormatError, KmerReference
 
@@ -43,9 +44,11 @@ def _prefetch_iter(it, depth: int = 2):
 
     If the consumer abandons the loop (e.g. a device error outside this
     iterator), the generator's ``finally`` sets a cancel flag and drains
-    the queue so the producer's bounded ``put`` can never block forever,
-    then closes the source iterator to release its native stream handle
-    (ADVICE.md r3 #2)."""
+    the queue so the producer's bounded ``put`` can never block forever.
+    The PRODUCER thread closes the source iterator in its own finally --
+    it is the thread driving the iterator, so the close is safe and
+    happens even if a blocked native fill outlives the consumer's wait
+    (ADVICE.md r4 #2; previously a >5s fill leaked the stream handle)."""
     import queue
     import threading
 
@@ -71,6 +74,12 @@ def _prefetch_iter(it, depth: int = 2):
         except BaseException as exc:  # re-raised on the consumer side
             holder.append(exc)
         finally:
+            close = getattr(it, "close", None)
+            if close is not None:
+                try:
+                    close()
+                except Exception:
+                    pass
             cancellable_put(done)
 
     t = threading.Thread(target=run, daemon=True)
@@ -90,11 +99,7 @@ def _prefetch_iter(it, depth: int = 2):
                 q.get_nowait()
             except queue.Empty:
                 break
-        close = getattr(it, "close", None)
-        if close is not None:
-            t.join(timeout=5.0)
-            if not t.is_alive():
-                close()
+        t.join(timeout=5.0)
 
 
 class NotValidatingUniqueMapping(Exception):
@@ -175,7 +180,7 @@ class Read:
                 f"{type(p)}, {type(m)}, {type(debug)}"
             )
         if m < 0:
-            raise ValueError("m must be bigger than or equal to 0")
+            raise UserInputError("m must be bigger than or equal to 0")
         if min_read_quality is not None and self.mean_quality() < min_read_quality:
             return ReadMappingType.UNMAPPED
 
@@ -278,7 +283,7 @@ class Read:
         """The m-decision over specific k-mer counts
         (reference kmer.py:444-462)."""
         if m < 0:
-            raise ValueError("m must be non-negative")
+            raise UserInputError("m must be non-negative")
         spec = self._genome_count_ids(map_count=True)
         recs = self._ref._materialized_records()
         if len(spec) == 1:
@@ -466,7 +471,7 @@ class PseudoAlignment:
         if not isinstance(m, int) or not isinstance(p, int):
             raise TypeError("m and p must be ints")
         if m < 0:
-            raise ValueError("m must be bigger than or equal to 0")
+            raise UserInputError("m must be bigger than or equal to 0")
         if min_read_quality is not None:
             self.filter_read_quality_flag = True
         if min_kmer_quality is not None:
@@ -620,7 +625,7 @@ class PseudoAlignment:
         if not isinstance(m, int) or not isinstance(p, int):
             raise TypeError("m and p must be ints")
         if m < 0:
-            raise ValueError("m must be bigger than or equal to 0")
+            raise UserInputError("m must be bigger than or equal to 0")
         if min_read_quality is not None:
             self.filter_read_quality_flag = True
         if min_kmer_quality is not None:
@@ -862,21 +867,41 @@ class PseudoAlignment:
         counts = in_sorted.sum(axis=1)
         flat_all = order[in_sorted]
         splits = np.split(flat_all, np.cumsum(counts)[:-1])
-        mt_list = mtype.tolist()
 
-        for i in range(rows):
-            if filtered[i]:
-                continue
-            rid = ids[i]
-            if rid in self._seen_ids:
-                raise AddingExistingRead(
-                    f"There already exists a read with identifier: {rid}"
-                )
-            self._seen_ids.add(rid)
-            self._read_ids.append(rid)
-            self._mtypes.append(int(mt_list[i]))
-            self._list_flat.append(splits[i])
-            self._list_counts.append(int(counts[i]))
+        # bulk duplicate-id check: set ops instead of a per-read probe --
+        # the slow per-read walk runs only to name the offending id
+        # (reference semantics: raise at the FIRST duplicate, earlier
+        # reads of the batch stay added, kmer.py:551-561)
+        kept_idx = np.nonzero(~filtered)[0]
+        kept_ids = ([ids[i] for i in kept_idx] if filtered.any()
+                    else list(ids[:rows]))
+        new_ids = set(kept_ids)
+        if len(new_ids) != len(kept_ids) or not new_ids.isdisjoint(
+                self._seen_ids):
+            for i, rid in zip(kept_idx, kept_ids):
+                if rid in self._seen_ids:
+                    raise AddingExistingRead(
+                        "There already exists a read with identifier: "
+                        f"{rid}")
+                self._seen_ids.add(rid)
+                self._read_ids.append(rid)
+                self._mtypes.append(int(mtype[i]))
+                self._list_flat.append(splits[i])
+                self._list_counts.append(int(counts[i]))
+            raise AssertionError("duplicate detected by set check but "
+                                 "not found in walk")
+        self._seen_ids |= new_ids
+        self._read_ids.extend(kept_ids)
+        if filtered.any():
+            keep = ~filtered
+            self._mtypes.extend(mtype[keep].tolist())
+            self._list_flat.extend(
+                s for s, kp in zip(splits, keep) if kp)
+            self._list_counts.extend(counts[keep].tolist())
+        else:
+            self._mtypes.extend(mtype.tolist())
+            self._list_flat.extend(splits)
+            self._list_counts.extend(counts.tolist())
 
     # -- summary (reference kmer.py:622-657) --------------------------------
 

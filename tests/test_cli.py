@@ -204,3 +204,45 @@ def test_corrected_spelling_alias_rejected():
                    "--ambiguous-threshold", "1"])
     assert out.returncode != 0
     assert "unrecognized arguments" in out.stderr
+
+
+def test_user_input_valueerror_exits_cleanly(corpus):
+    """Engine ValueErrors that are part of the reference's user contract
+    (UserInputError) funnel to a clean exit with the message, exactly as
+    the reference's bare-ValueError catch does (reference main.py:401)."""
+    fa, fq = corpus
+    out = run_cli(["-t", "dumpalign", "-g", fa, "-k", "31", "--reads", fq,
+                   "-m", "-1"])
+    assert out.returncode != 0
+    assert "Traceback" not in out.stderr
+    assert "m must be bigger than or equal to 0" in out.stderr
+
+
+def test_internal_valueerror_is_not_swallowed(tmp_path, corpus):
+    """An unexpected internal ValueError must produce a traceback, not a
+    clean user-error exit (VERDICT r4 weak #5): the CLI catches only the
+    UserInputError subclass, unlike the reference's bare-ValueError
+    funnel."""
+    fa, fq = corpus
+    env = dict(os.environ)
+    env["SHOTGUN_TPU_PLATFORM"] = "cpu"
+    # inject a ValueError deep in the engine via sitecustomize-free -c:
+    # patch PseudoAlignment.align_stream/align_packed_reads to blow up
+    code = (
+        "import shotgun_tpu.aligner as A\n"
+        "def boom(self, *a, **k):\n"
+        "    raise ValueError('internal bug: bad reshape')\n"
+        "A.PseudoAlignment.align_stream = boom\n"
+        "A.PseudoAlignment.align_packed_reads = boom\n"
+        "import sys\n"
+        "from shotgun_tpu.cli import main\n"
+        f"sys.argv = ['main.py', '-t', 'dumpalign', '-g', {fa!r}, "
+        f"'-k', '31', '--reads', {fq!r}]\n"
+        "main()\n"
+    )
+    out = subprocess.run([sys.executable, "-c", code], cwd=REPO,
+                         capture_output=True, text=True, env=env,
+                         timeout=600)
+    assert out.returncode != 0
+    assert "Traceback" in out.stderr
+    assert "internal bug: bad reshape" in out.stderr
