@@ -131,7 +131,12 @@ def create_reference_and_save_it(fasta_file: str, kmer_size: int,
 
 
 def dump_reference(kmer_reference: KmerReference) -> None:
-    print(json.dumps(kmer_reference.get_summary(), indent=4))
+    # streaming writer: byte-identical to json.dumps(get_summary(),
+    # indent=4) but O(chunk) extra memory -- a 10M-k-mer dumpref streams
+    # instead of materializing every k-mer string (reference kmer.py:300-329
+    # holds the whole dict; see KmerReference.write_summary)
+    kmer_reference.write_summary(sys.stdout)
+    print()
 
 
 def dump_reference_file(reference_file: str) -> None:

@@ -50,6 +50,32 @@ def extract_kmers_from_genome(k: int, genome: str):
     return ((i, genome[i: i + k]) for i in range(len(genome) - k + 1))
 
 
+_BASE_ASCII = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+
+def _decode_kmer_strings(words: np.ndarray, k: int) -> List[str]:
+    """[C, nw] key-word rows -> k-mer strings, vectorized over rows.
+
+    Inverse of index.build.rolling_encode_words' layout: word j holds
+    window bases t in [k-16(j+1), k-16j), leftmost base in the most-
+    significant bits.  O(k) vector passes over the chunk instead of
+    get_summary's per-k-mer ``decode_kmer_words`` Python loop."""
+    c = words.shape[0]
+    out = np.empty((c, k), dtype=np.uint8)
+    for j in range(words.shape[1]):
+        t_hi = k - 16 * j
+        if t_hi <= 0:
+            break
+        t_lo = max(t_hi - 16, 0)
+        wcol = words[:, j]
+        for t in range(t_lo, t_hi):
+            shift = np.uint32(2 * (t_hi - 1 - t))
+            out[:, t] = ((wcol >> shift) & np.uint32(3)).astype(np.uint8)
+    ascii_rows = np.ascontiguousarray(_BASE_ASCII[out])
+    return np.char.decode(ascii_rows.view(f"S{k}").reshape(-1),
+                          "ascii").tolist()
+
+
 class _DeviceIndexStub:
     """Minimal index facade for a device-built reference: the align and
     summary paths need only scalar metadata (k, record descriptions and
@@ -247,6 +273,147 @@ class KmerReference:
     # ------------------------------------------------------------------
     # dumpref summary (exact dict orders; reference kmer.py:300-329)
     # ------------------------------------------------------------------
+
+    def write_summary(self, fh, chunk: int = 1 << 16) -> None:
+        """Stream the dumpref JSON to ``fh``, byte-identical to
+        ``json.dumps(self.get_summary(), indent=4)``.
+
+        ``get_summary`` materializes every k-mer string and the whole
+        nested dict in RAM via a per-k-mer Python loop -- hours of work
+        and >100 GB of JSON at the 100M-key scale this engine's bulk
+        proof runs at.  This writer walks ``display_order`` in chunks:
+        k-mer strings decode vectorized, CSR postings gather per chunk,
+        per-genome stats accumulate in flat arrays, and each chunk's
+        text writes out immediately, so peak extra memory is O(chunk).
+        Replaces the loop of reference kmer.py:300-329 for the dumpref
+        task; all dict-insertion orders (k-mer first-seen, per-k-mer
+        record order, Summary first-encounter order, duplicate-
+        description collisions) are reproduced exactly -- byte-equality
+        is pinned by the recorded CLI goldens and a randomized
+        differential test (tests/test_index.py).
+
+        Size envelope: output is ~(k + 40) bytes per k-mer -- a 10M-key
+        DB streams ~0.6 GB of JSON in bounded RSS; at 100M keys plan for
+        ~6 GB of OUTPUT (pipe it somewhere) but flat memory here.
+        """
+        idx = self.index
+        gc_all = np.asarray(idx.genome_counts())
+        disp = idx.display_order()
+        u = int(disp.size)
+        r_count = idx.num_records
+        # collapse duplicate descriptions exactly like dict keys do
+        desc_ids: Dict[str, int] = {}
+        rec2desc = np.empty(max(r_count, 1), np.int64)
+        for rci, d in enumerate(idx.descriptions):
+            rec2desc[rci] = desc_ids.setdefault(d, len(desc_ids))
+        nd = max(len(desc_ids), 1)
+        desc_json = [json.dumps(d) for d in desc_ids]  # insertion order
+        uniq_d = np.zeros(nd, np.int64)
+        tot_d = np.zeros(nd, np.int64)
+        last_rec_d = np.full(nd, -1, np.int64)
+        first_pair_d = np.full(nd, np.iinfo(np.int64).max, np.int64)
+        pair_counter = 0
+
+        w = fh.write
+        w('{\n    "Kmers": {')
+        first_entry = True
+        for c0 in range(0, u, chunk):
+            kids = disp[c0: c0 + chunk]
+            starts = idx.post_offsets[kids].astype(np.int64)
+            lens = (idx.post_offsets[kids + 1] - starts).astype(np.int64)
+            total = int(lens.sum())
+            # flat posting gather: one index vector instead of per-kid
+            # slicing (postings of a kid are contiguous; within a kid
+            # they are (record asc, position asc) by construction)
+            step = np.ones(total, np.int64)
+            step[0] = 0
+            cs = np.cumsum(lens)[:-1]
+            step[cs] = starts[1:] - (starts[:-1] + lens[:-1] - 1)
+            flat_idx = np.cumsum(step) + starts[0]
+            recs = idx.post_record[flat_idx].astype(np.int64)
+            poss = idx.post_pos[flat_idx]
+            kid_local = np.repeat(np.arange(kids.size, dtype=np.int64),
+                                  lens)
+            newrec = np.empty(total, bool)
+            newrec[0] = True
+            newrec[1:] = ((kid_local[1:] != kid_local[:-1])
+                          | (recs[1:] != recs[:-1]))
+            b_idx = np.flatnonzero(newrec)
+            seg_end = np.append(b_idx[1:], total)
+            b_kid = kid_local[b_idx]
+            b_rec = recs[b_idx]
+            b_desc = rec2desc[b_rec]
+            # per-genome stats over distinct (kid, desc) pairs
+            ukey = np.unique(b_kid * np.int64(nd) + b_desc)
+            ud = ukey % nd
+            spec = gc_all[kids[(ukey // nd)]] == 1
+            tot_d += np.bincount(ud, minlength=nd)
+            uniq_d += np.bincount(ud[spec], minlength=nd)
+            last_rec_d[b_desc] = b_rec  # fancy assign: last writer wins
+            np.minimum.at(first_pair_d, b_desc,
+                          pair_counter + np.arange(b_idx.size))
+            pair_counter += int(b_idx.size)
+
+            kstrs = _decode_kmer_strings(idx.kmer_words[kids], idx.k)
+            # per-kid boundary ranges (b_kid is nondecreasing)
+            b_start = np.searchsorted(b_kid, np.arange(kids.size + 1))
+            pos_l = poss.tolist()
+            parts: List[str] = []
+            ap = parts.append
+            for i in range(kids.size):
+                ap("," if not first_entry else "")
+                first_entry = False
+                ap('\n        "')
+                ap(kstrs[i])
+                ap('": {')
+                bs, be = int(b_start[i]), int(b_start[i + 1])
+                if be - bs == 1:
+                    # single record (the common case)
+                    j = bs
+                    ap('\n            ')
+                    ap(desc_json[b_desc[j]])
+                    ap(': [\n                ')
+                    ap(",\n                ".join(
+                        map(str, pos_l[b_idx[j]: seg_end[j]])))
+                    ap('\n            ]\n        }')
+                else:
+                    # multiple records; duplicate descriptions keep the
+                    # FIRST slot but the LAST record's positions
+                    inner: Dict[int, str] = {}
+                    for j in range(bs, be):
+                        body = (
+                            '[\n                '
+                            + ",\n                ".join(
+                                map(str, pos_l[b_idx[j]: seg_end[j]]))
+                            + '\n            ]')
+                        inner[int(b_desc[j])] = body
+                    ap('\n            ')
+                    ap(',\n            '.join(
+                        f'{desc_json[di]}: {body}'
+                        for di, body in inner.items()))
+                    ap('\n        }')
+            w("".join(parts))
+        w('\n    }' if not first_entry else '}')
+
+        # Summary: genomes in first-encounter order over the k-mer walk
+        live = np.flatnonzero(first_pair_d < np.iinfo(np.int64).max)
+        order = live[np.argsort(first_pair_d[live], kind="stable")]
+        rl = np.asarray(idx.record_lengths)
+        summary = {
+            list(desc_ids)[di]: {
+                "total_bases": int(rl[last_rec_d[di]]),
+                "unique_kmers": int(uniq_d[di]),
+                "multi_mapping_kmers": int(tot_d[di] - uniq_d[di]),
+            }
+            for di in order
+        }
+        w(',\n    "Summary": ')
+        w(json.dumps(summary, indent=4).replace("\n", "\n    "))
+        if idx.similarity_info is not None:
+            w(',\n    "Similarity": ')
+            w(json.dumps(idx.similarity_info, indent=4)
+              .replace("\n", "\n    "))
+        w("\n}")
 
     def get_summary(self) -> Dict[str, Any]:
         idx = self.index

@@ -143,3 +143,33 @@ def test_getitem_api():
     assert ref["GGG"] is None
     assert ref.get_kmer_references("GGG") == {}
     assert ref["TOOLONG"] is None
+
+
+def test_write_summary_streams_byte_identical():
+    """The streaming dumpref writer (KmerReference.write_summary) must
+    byte-match json.dumps(get_summary(), indent=4) -- including duplicate
+    descriptions, genomes shorter than k, all-N genomes, EXTSIM, and
+    chunk boundaries (VERDICT r4 next #3; reference kmer.py:300-329)."""
+    import io
+    import json as _json
+
+    import numpy as _np
+
+    from shotgun_tpu.io.records import FASTAParser
+    from shotgun_tpu.reference import KmerReference
+
+    rng = _np.random.default_rng(11)
+    parts = []
+    for i in range(30):
+        seq = "".join(rng.choice(list("ACGTN"), size=int(rng.integers(3, 300)),
+                                 p=[0.24, 0.24, 0.24, 0.24, 0.04]))
+        parts.append(f">genome {i % 7}\n{seq}\n")
+    fa = "".join(parts)
+    for k, fs in ((6, False), (31, False), (40, False), (6, True)):
+        c = FASTAParser()
+        c.parse_records(fa)
+        ref = KmerReference(k, c, filter_similar=fs,
+                            similarity_threshold=0.4)
+        buf = io.StringIO()
+        ref.write_summary(buf, chunk=13)
+        assert buf.getvalue() == _json.dumps(ref.get_summary(), indent=4)
