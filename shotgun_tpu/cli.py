@@ -299,9 +299,9 @@ def build_reference_align_and_dump(
         # device-side DB build (index/device_build.py): the probe table
         # assembles on the TPU with the align path's own sort machinery
         # and never materializes host postings -- dumpalign needs only
-        # the summary.  None -> unsupported input (k > 31, too many
-        # records/sets); fall through to the host builder, whose output
-        # is bit-identical (tests/test_device_build.py).
+        # the summary.  None -> unsupported input (k > 31, > R_CAP
+        # records, set caps); fall through to the host builder, whose
+        # output is bit-identical (tests/test_device_build.py).
         with phase("fasta_parse"):
             container = FASTAFile(fasta_file).container
         from shotgun_tpu.io.packing import pack_genomes
@@ -309,11 +309,18 @@ def build_reference_align_and_dump(
         genomes = (container.to_genome_arrays()
                    if hasattr(container, "to_genome_arrays")
                    else pack_genomes(list(container)))
-        if genomes.codes.size <= KmerReference.AUTO_HASH_MIN_KEYS:
-            # big corpora go to the host builder so the auto probe can
-            # pick the table-size-independent hash path (the device
-            # build emits the sorted table, whose per-batch join cost
-            # scales with the table)
+        # size window: below MIN the 2-core native build is milliseconds
+        # and skipping the device build keeps a whole XLA program out of
+        # the CLI run (cold compile AND warm executable-load RPCs both
+        # drop -- the r4 warm-start regression was exactly this program);
+        # above MAX the host-build + hash-probe pairing aligns faster
+        # than the sorted table the device build emits (the join re-sorts
+        # the table into every batch)
+        lo_gate = int(os.environ.get(
+            "SHOTGUN_TPU_DEVICE_BUILD_MIN", 4_000_000))
+        hi_gate = int(os.environ.get(
+            "SHOTGUN_TPU_DEVICE_BUILD_MAX", 64_000_000))
+        if lo_gate <= genomes.codes.size <= hi_gate:
             with phase("db_build_device"):
                 kmer_reference = KmerReference.from_device_build(
                     genomes, kmer_size)

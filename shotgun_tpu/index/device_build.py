@@ -1,44 +1,57 @@
-"""Device-side k-mer index build: the TPU replaces the host build loop.
+"""Device-side k-mer index build v2: the TPU replaces the host build loop.
 
 The reference builds its DB with a Python dict scan at 0.05 Mbp/s
-(reference kmer.py:135-150); the native C++ builder reaches ~18 Mbp/s on
-the 2 host cores.  This module builds the ALIGN-relevant index -- the
-sorted probe table (keys, set ids, genome counts) and the genome-set
-table -- entirely on the TPU with the same sort machinery the probe path
-uses, so the "build DB then align" dumpalign flow never materializes
-host postings at all.  The big arrays stay device-resident and feed
-``ops.probe_sort2`` directly; only the tiny set table and two scalars
-are fetched.
+(reference kmer.py:135-150); the native C++ builder reaches ~20 Mbp/s on
+the 2 host cores at 1 Mbp but collapses to ~1.5 Mbp/s at 100 Mbp
+(memory-bound radix).  This module builds the ALIGN-relevant index --
+the sorted probe table (keys, set ids, genome counts) and the genome-set
+member table -- entirely on the TPU, for ANY record count up to
+``R_CAP`` and any k <= 31.  The big arrays stay device-resident and feed
+``ops.probe_sort2`` directly; only two scalar words and a bounded
+(set, record) pair list come back to the host.
 
-Passes (all jit, static shapes, shape-bucketed -- see
-``reference.KmerReference._pad_rows``):
+Design (one upload, one fused dispatch, one fetch):
 
   1. windows: rolling 2-bit encode over the concatenated genome codes;
      windows containing an N or crossing a record boundary get an
      all-ones sentinel key (unreachable by real 62-bit keys).
-  2. one stable 2-key sort of (key_hi, key_lo) carrying the window's
-     record id and global scan index -- groups duplicate k-mers with
-     scan order preserved inside each group.
-  3. boundary scan: ``new`` flags, group ids, and ONE segmented
-     associative scan that ORs per-record bitmask words and carries the
-     group's first-seen index; each group's LAST row ends up holding the
-     full genome-set mask and first-seen.
-  4. compaction sort: key ``gid`` for group-last rows / BIG otherwise
-     brings the [U] distinct rows to the front in key order; a second
-     jit specialized on the U shape bucket slices and pads.
-  5. set dedupe: sort the [U_pad] masks, boundary-scan set ids, popcount
-     genome counts; restore to key order.  Zero gathers anywhere.
+  2. ONE 3-key sort of (key_hi, key_lo, record): duplicate k-mers group
+     together with records ascending inside each group.  The table KEEPS
+     duplicate key rows -- the sort-merge probe's cummax join reads the
+     last table row of a run, and duplicates carry identical payload, so
+     no compaction pass is needed (the padded table length is the shape
+     bucket either way).
+  3. per-group genome counts from three NATIVE cumulative ops (no
+     doubling scan): cs = cumsum(distinct-pair flag) is nondecreasing,
+     so cummax of its group-start values and reverse-cummin of its
+     group-end values broadcast both boundaries to every row.
+  4. set ids: a k-mer hitting ONE record (the overwhelmingly common
+     case) gets sid = record directly -- the first R member-table rows
+     are the singleton sets, known without any dedupe.  Only groups with
+     gc > 1 enter the multi-set machinery, and the whole of it runs
+     under ``lax.cond``: corpora with no shared k-mers skip those sorts
+     at run time entirely.
+  5. multi sets dedupe by a 64-bit segmented-sum hash (gc mixed in),
+     assigned via one dedupe sort + one restore sort + a 1-word reverse
+     segmented broadcast.  Hash collisions cannot corrupt output: the
+     distinct (sid, record) pairs of ALL multi groups are extracted
+     (two 1-key sorts) and fetched, and the host verifies that every
+     multi sid's pair count equals its groups' genome count -- two
+     DIFFERENT sets merged by a colliding hash have a strictly larger
+     union, so the check is exact; on failure the caller falls back to
+     the bit-identical host builder.
 
-Limits: k <= 31 (two-word keys) and R <= 64 records (the mask rides in
-two uint32 scan words).  Anything else falls back to the host builder.
-Correctness is pinned by equality tests against the host index
-(tests/test_device_build.py).
+Limits: k <= 31 (two-word keys), R <= R_CAP records, <= SMAX multi
+sets, <= PMAX multi (set, record) pairs.  Anything else returns None and
+falls back to the host builder.  Correctness is pinned by equality tests
+against the host index (tests/test_device_build.py).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional
+import time
+from typing import Optional
 
 import numpy as np
 
@@ -52,255 +65,291 @@ import jax.numpy as jnp
 _ONES = np.uint32(0xFFFFFFFF)
 _BIG = np.int32(0x7FFFFFFF)
 
+#: record-count cap: sid/record pairs pack as sid * R_CAP + rec in int32
+R_CAP = 4096
+#: cap on DISTINCT multi-record genome-sets (sets of >= 2 records)
+SMAX = 4096
+#: cap on fetched multi (set, record) pairs (the union of all multi sets)
+PMAX = 1 << 17
+#: pair-fetch head size: the common fetch ships only this many pairs
+#: (most corpora have few multi sets); the full [PMAX] tail is fetched
+#: in a second RPC only when n_pairs exceeds it
+PHEAD = 4096
 
-class DeviceBuildOut(NamedTuple):
-    """Compacted build products (device-resident, window-shaped)."""
 
-    num_kmers: jnp.ndarray   # int32 [] distinct valid k-mers
-    klo: jnp.ndarray         # uint32 [W] distinct keys first, then junk
-    khi: jnp.ndarray         # uint32 [W]
-    mask_lo: jnp.ndarray     # uint32 [W] genome-set mask bits 0..31
-    mask_hi: jnp.ndarray     # uint32 [W] bits 32..63
-    first_seen: jnp.ndarray  # int32 [W] global scan index of first occ
+def _mix32(x):
+    """splitmix32-style avalanche over uint32 (device)."""
+    x = x.astype(jnp.uint32)
+    x = (x ^ (x >> jnp.uint32(16))) * jnp.uint32(0x7FEB352D)
+    x = (x ^ (x >> jnp.uint32(15))) * jnp.uint32(0x846CA68B)
+    return x ^ (x >> jnp.uint32(16))
 
 
-def _segmented_or_scan(new, vals):
-    """Inclusive segmented OR scan: segments start where ``new`` is True;
-    vals[j][i] becomes the OR of its segment's elements up to i.
-
-    Classic flag-carrying doubling: at distance d, an element absorbs its
-    d-left neighbor unless a segment head sits at or before the gap, and
-    head flags propagate the same way.  O(log n) steps of shifts + ORs --
-    each step is constant HLO, so compile time is flat in n (unlike
-    jax.lax.associative_scan on TPU)."""
+def _segmented_sum_scan(new, vals):
+    """Inclusive segmented SUM scan (segments start where ``new`` is
+    True): flag-carrying Hillis-Steele doubling, O(log n) constant-HLO
+    steps (jax.lax.associative_scan's compile time explodes with array
+    size on TPU; this form compiles flat)."""
     n = int(new.shape[0])
     flag = new
     vals = tuple(vals)
     d = 1
     while d < n:
         def sh(x, fill):
-            return jnp.concatenate(
-                [jnp.full(d, fill, x.dtype), x[:-d]])
+            return jnp.concatenate([jnp.full(d, fill, x.dtype), x[:-d]])
         shifted = tuple(sh(v, 0) for v in vals)
         vals = tuple(
-            jnp.where(flag, v, v | sv) for v, sv in zip(vals, shifted))
+            jnp.where(flag, v, v + sv) for v, sv in zip(vals, shifted))
         flag = flag | sh(flag, True)
         d *= 2
     return vals
 
 
-def _build_sorted_core(codes2: jnp.ndarray,    # uint8 [Gp/4] 2-bit packed
-                       nmask: jnp.ndarray,     # uint8 [Gp/8] N/pad bitmask
-                       rec_start: jnp.ndarray,  # int32 [Gp] record starts
-                       *, k: int) -> DeviceBuildOut:
-    """Passes 1-4: windows -> sorted groups -> compacted distinct rows.
+def _reverse_segmented_or_bcast(last, val):
+    """Broadcast ``val`` (nonzero only at segment-LAST rows) to every row
+    of its segment, flowing right-to-left; segments end at ``last``."""
+    n = int(val.shape[0])
+    flag = last
+    d = 1
+    while d < n:
+        def sh_r(x, fill):
+            return jnp.concatenate([x[d:], jnp.full(d, fill, x.dtype)])
+        val = jnp.where(flag, val, val | sh_r(val, 0))
+        flag = flag | sh_r(flag, True)
+        d *= 2
+    return val
 
-    Genomes arrive 2-bit packed plus an N/pad bitmask (0.375 B/base
-    upload vs 1 B/base -- the tunnel upload capped the build rate); N
-    positions carry garbage 2-bit codes that the validity mask excludes,
-    exactly like the read path's packed plane."""
-    g = int(codes2.shape[0]) * 4
-    w = g - k + 1
 
-    # device-side unpack (same layout as ops.encode.unpack_codes_2bit)
-    u = codes2.astype(jnp.uint32)[:, None]
+@functools.partial(jax.jit, static_argnames=("k", "gp"))
+def _build_tables_v2(buf, r_num, *, k: int, gp: int):
+    """Single-dispatch general build.  ``buf`` is the combined upload:
+    [gp/4] 2-bit packed codes ++ [gp/8] N/pad bitmask ++ [(R_CAP+1)*4]
+    little-endian int32 record-start offsets (one host->device RPC);
+    ``r_num`` is the record count as a TRACED int32 scalar, so differing
+    record counts share one executable."""
+    nc = gp // 4
+    nm = gp // 8
+    codes2 = buf[:nc]
+    nmask = buf[nc: nc + nm]
+    ob = buf[nc + nm:].astype(jnp.int32)
+    offsets = (ob[0::4] | (ob[1::4] << 8) | (ob[2::4] << 16)
+               | (ob[3::4] << 24))
+
+    # ---- unpack + window encode ----
+    u8 = codes2.astype(jnp.uint32)[:, None]
     shifts = jnp.arange(4, dtype=jnp.uint32)[None, :] * jnp.uint32(2)
-    c32 = ((u >> shifts) & jnp.uint32(3)).reshape(g)
+    c32 = ((u8 >> shifts) & jnp.uint32(3)).reshape(gp)
     nb = nmask.astype(jnp.uint32)[:, None]
     bshifts = jnp.arange(8, dtype=jnp.uint32)[None, :]
-    bad = ((nb >> bshifts) & jnp.uint32(1)).astype(jnp.int32).reshape(g)
+    bad = ((nb >> bshifts) & jnp.uint32(1)).astype(jnp.int32).reshape(gp)
+    rec_start = jnp.zeros(gp, jnp.int32).at[offsets].set(1)
 
+    w = gp - k + 1
     lo = jnp.zeros(w, dtype=jnp.uint32)
     hi = jnp.zeros(w, dtype=jnp.uint32)
     for j in range(k):
         c = c32[j: j + w]
         hi = (hi << jnp.uint32(2)) | (lo >> jnp.uint32(30))
         lo = (lo << jnp.uint32(2)) | c
-    # validity: no N/pad byte inside the window, no record start strictly
-    # inside it (a window belongs to the record its first base is in)
     cs_bad = jnp.cumsum(bad)
     bad_in = cs_bad[k - 1:] - jnp.concatenate(
         [jnp.zeros(1, jnp.int32), cs_bad[: w - 1]])
     cs_rs = jnp.cumsum(rec_start)
     starts_in = cs_rs[k - 1:] - cs_rs[: w]
     valid = (bad_in == 0) & (starts_in == 0)
-    rec_of_win = (cs_rs[: w] - 1).astype(jnp.int32)  # record of first base
+    rec_of_win = (cs_rs[: w] - 1).astype(jnp.uint32)
 
     skh = jnp.where(valid, hi, jnp.uint32(_ONES))
     skl = jnp.where(valid, lo, jnp.uint32(_ONES))
-    iota_w = jnp.arange(w, dtype=jnp.int32)
 
-    skh, skl, idx_s, rec_s = jax.lax.sort(
-        (skh, skl, iota_w, rec_of_win), num_keys=2, is_stable=True)
+    # ---- SORT1: (key, record); records ascend within each key group ----
+    skh, skl, rec_s = jax.lax.sort((skh, skl, rec_of_win), num_keys=3,
+                                   is_stable=False)
+    rec_i = rec_s.astype(jnp.int32)
 
-    # group boundaries (invalid windows share the all-ones key: one junk
-    # group at the very end, excluded via the key's MSB -- real keys
-    # have hi < 2**30)
     live = (skh >> jnp.uint32(31)) == 0
-    prev_same = jnp.concatenate([
-        jnp.zeros(1, dtype=bool),
-        (skh[1:] == skh[:-1]) & (skl[1:] == skl[:-1])])
-    new = live & ~prev_same
-    gid = jnp.cumsum(new.astype(jnp.int32)) - 1
-    num_kmers = jnp.sum(new.astype(jnp.int32))
+    same_key = (skh[1:] == skh[:-1]) & (skl[1:] == skl[:-1])
+    new_key = live & jnp.concatenate(
+        [jnp.ones(1, dtype=bool), ~same_key])
+    is_last = live & jnp.concatenate([~same_key, jnp.ones(1, dtype=bool)])
+    d = live & (new_key | jnp.concatenate(
+        [jnp.ones(1, dtype=bool), rec_s[1:] != rec_s[:-1]]))
+    num_kmers = jnp.sum(new_key.astype(jnp.int32))
 
-    # genome-set mask words + first-seen, one segmented OR scan: only a
-    # group's start row contributes its first-seen (0 elsewhere), every
-    # row contributes its record bit, and the scan resets at starts --
-    # the group's LAST row holds the full OR.  Hand-rolled log-step
-    # doubling (Hillis-Steele with segment flags) instead of
-    # jax.lax.associative_scan, whose XLA compile time explodes with
-    # array size on TPU (measured: 67 s at 2^20 rows, >300 s at 2^23;
-    # this form compiles flat).
-    bit = (rec_s & jnp.int32(31)).astype(jnp.uint32)
-    m_lo = jnp.where(rec_s < 32, jnp.uint32(1) << bit, jnp.uint32(0))
-    m_hi = jnp.where(rec_s >= 32, jnp.uint32(1) << bit, jnp.uint32(0))
-    fs_w = jnp.where(new, idx_s, 0).astype(jnp.uint32)
+    # ---- per-group genome count via native cumulative ops ----
+    cs = jnp.cumsum(d.astype(jnp.int32))
+    csb = jax.lax.cummax(jnp.where(new_key, cs - d, jnp.int32(-1)))
+    cse = jax.lax.cummin(jnp.where(is_last, cs, _BIG), reverse=True)
+    gc_all = jnp.where(live, cse - csb, 0)
+    single = gc_all == 1
 
-    or_lo, or_hi, fs_or = _segmented_or_scan(new, (m_lo, m_hi, fs_w))
-    is_last = jnp.concatenate([~prev_same[1:], jnp.ones(1, dtype=bool)])
-    last = live & is_last
+    n_multi_groups = jnp.sum((new_key & ~single).astype(jnp.int32))
+    iota = jnp.arange(w, dtype=jnp.int32)
 
-    # compaction: group-last rows to the front in gid (= key) order
-    ckey = jnp.where(last, gid, _BIG)
-    _, klo_c, khi_c, mlo_c, mhi_c, fs_c = jax.lax.sort(
-        (ckey, skl, skh, or_lo, or_hi, fs_or.astype(jnp.int32)),
-        num_keys=1, is_stable=False)
-    return DeviceBuildOut(
-        num_kmers=num_kmers,
-        klo=klo_c, khi=khi_c,
-        mask_lo=mlo_c, mask_hi=mhi_c,
-        first_seen=fs_c,
-    )
+    def multi_branch(_):
+        md = d & ~single
+        h1c = jnp.where(md, _mix32(rec_s + jnp.uint32(0x9E3779B9)),
+                        jnp.uint32(0))
+        h2c = jnp.where(md, _mix32(rec_s ^ jnp.uint32(0x85EBCA6B)),
+                        jnp.uint32(0))
+        h1, h2 = _segmented_sum_scan(new_key, (h1c, h2c))
+        # fold gc into the hash so merged groups always agree on gc
+        gcm = _mix32(gc_all.astype(jnp.uint32) + jnp.uint32(0xC2B2AE35))
+        h1 = h1 ^ gcm
+        h2 = h2 + gcm
+        m_last = is_last & ~single
+        # dedupe sort: real rows carry h1 >> 1 (top bit clear), others
+        # all-ones -- a real hash can never collide with the filler key
+        k1 = jnp.where(m_last, h1 >> jnp.uint32(1), jnp.uint32(_ONES))
+        k2 = jnp.where(m_last, h2, jnp.uint32(_ONES))
+        k1s, k2s, iota_s = jax.lax.sort((k1, k2, iota), num_keys=2,
+                                        is_stable=False)
+        real = (k1s >> jnp.uint32(31)) == 0
+        prev_same_h = jnp.concatenate([
+            jnp.zeros(1, dtype=bool),
+            (k1s[1:] == k1s[:-1]) & (k2s[1:] == k2s[:-1])])
+        new_set = real & ~prev_same_h
+        midx_sorted = jnp.cumsum(new_set.astype(jnp.int32)) - 1
+        n_multi = jnp.sum(new_set.astype(jnp.int32))
+        # restore to key order: payload midx+1 at real rows, 0 elsewhere
+        pay = jnp.where(real, midx_sorted + 1, 0)
+        _, pay_r = jax.lax.sort((iota_s, pay), num_keys=1,
+                                is_stable=False)
+        midx_b = _reverse_segmented_or_bcast(is_last, pay_r) - 1
+        # distinct (multi set, record) pairs of ALL multi groups
+        pairkey = jnp.where(
+            md, midx_b * jnp.int32(R_CAP) + rec_i, _BIG)
+        pk_s, gc_s = jax.lax.sort((pairkey, gc_all), num_keys=1,
+                                  is_stable=False)
+        uniq = (pk_s < _BIG) & jnp.concatenate([
+            jnp.ones(1, dtype=bool), pk_s[1:] != pk_s[:-1]])
+        n_pairs = jnp.sum(uniq.astype(jnp.int32))
+        pk_u, gc_u = jax.lax.sort(
+            (jnp.where(uniq, pk_s, _BIG), gc_s), num_keys=1,
+            is_stable=False)
+
+        def fit(x, size, fill):  # [w] -> [size] regardless of w
+            if w >= size:
+                return x[:size]
+            return jnp.concatenate(
+                [x, jnp.full(size - w, fill, x.dtype)])
+        return (midx_b, n_multi, n_pairs,
+                fit(pk_u, PHEAD, _BIG), fit(gc_u, PHEAD, 0),
+                fit(pk_u, PMAX, _BIG), fit(gc_u, PMAX, 0))
+
+    def no_multi_branch(_):
+        return (jnp.full(w, -1, jnp.int32), jnp.int32(0), jnp.int32(0),
+                jnp.full(PHEAD, _BIG, jnp.int32),
+                jnp.zeros(PHEAD, jnp.int32),
+                jnp.full(PMAX, _BIG, jnp.int32),
+                jnp.zeros(PMAX, jnp.int32))
+
+    (midx_b, n_multi, n_pairs, pairs_h, pair_gc_h,
+     pairs_f, pair_gc_f) = jax.lax.cond(
+        n_multi_groups > 0, multi_branch, no_multi_branch, operand=None)
+
+    # set ids: singleton sets ARE their record id (member rows [0, R));
+    # multi sets append after them ([R, R + n_multi)).  ``r_num`` is
+    # traced, so varying record counts never recompile.
+    sid_all = jnp.where(live & single, rec_i,
+                        jnp.where(live, r_num + midx_b, 0))
+    gc_col = jnp.where(live, gc_all, 0)
+
+    pad = gp - w  # k - 1 rows: table length == the gp shape bucket
+    klo = jnp.concatenate([skl, jnp.full(pad, _ONES, jnp.uint32)])
+    khi = jnp.concatenate([skh, jnp.full(pad, _ONES, jnp.uint32)])
+    sid_col = jnp.concatenate([sid_all, jnp.zeros(pad, jnp.int32)])
+    gc_col = jnp.concatenate([gc_col, jnp.zeros(pad, jnp.int32)])
+
+    return (klo, khi, sid_col, gc_col, num_kmers, n_multi, n_pairs,
+            pairs_h, pair_gc_h, pairs_f, pair_gc_f)
 
 
-def _finish_table_core(out: DeviceBuildOut, *, u_pad: int):
-    """Pass 5 at the static shape bucket: slice/pad to [u_pad], dedupe the
-    genome-set masks into (set_id, mask table in set-id order), compute
-    genome counts.  Returns arrays shaped exactly like the padded
-    ``SortedTableDev``."""
-    u = out.num_kmers
-    n = out.klo.shape[0]
-    iota = jnp.arange(u_pad, dtype=jnp.int32)
-    in_range = iota < u
+def _host_prep(genomes, k: int, pad_rows):
+    """2-bit pack + N/pad bitmask + offsets, combined into ONE upload
+    buffer (every separate host->device array is an RPC round trip).
+    The pack itself runs in the native lib (one pass, 2 threads) with a
+    numpy fallback writing into the same combined buffer."""
+    from shotgun_tpu.io import native as _native
 
-    def take(x, fill):
-        if u_pad <= n:
-            sl = x[:u_pad]
-        else:
-            sl = jnp.concatenate([
-                x, jnp.full(u_pad - n, fill, dtype=x.dtype)])
-        return jnp.where(in_range, sl, fill)
-
-    klo = take(out.klo, jnp.uint32(_ONES))
-    khi = take(out.khi, jnp.uint32(_ONES))
-    mlo = take(out.mask_lo, jnp.uint32(0))
-    mhi = take(out.mask_hi, jnp.uint32(0))
-    fs = take(out.first_seen, _BIG)
-
-    # dedupe masks: sort (mhi, mlo) with row ids; every real k-mer has a
-    # nonzero mask, so pads (0, 0) sort first and are excluded cleanly
-    smhi, smlo, rows = jax.lax.sort((mhi, mlo, iota), num_keys=2,
-                                    is_stable=True)
-    live_s = (smhi | smlo) != 0
-    prev_same = jnp.concatenate([
-        jnp.zeros(1, dtype=bool),
-        (smhi[1:] == smhi[:-1]) & (smlo[1:] == smlo[:-1])])
-    new_set = live_s & ~prev_same
-    sid_sorted = jnp.cumsum(new_set.astype(jnp.int32)) - 1
-    num_sets = jnp.sum(new_set.astype(jnp.int32))
-    # restore set ids to key order (rows is a permutation: 1-key sort)
-    _, sid = jax.lax.sort((rows, sid_sorted), num_keys=1, is_stable=False)
-    sid = jnp.where(in_range, sid, 0)
-
-    gc_all = (jax.lax.population_count(mlo)
-              + jax.lax.population_count(mhi)).astype(jnp.int32)
-
-    # set table in set-id order: run starts to the front
-    skey = jnp.where(new_set, sid_sorted, _BIG)
-    _, set_mlo, set_mhi = jax.lax.sort((skey, smlo, smhi), num_keys=1,
-                                       is_stable=False)
-    return (klo, khi, sid, gc_all, fs, num_sets, set_mlo, set_mhi)
-
-
-#: set-table fetch width: more distinct genome-sets than this falls back
-#: to the host builder (the dense [S, R] member matrix would be the
-#: bottleneck there anyway)
-SMAX = 4096
-
-
-@functools.partial(jax.jit, static_argnames=("k", "u_pad"))
-def _build_tables(codes, nmask, offsets, *, k: int, u_pad: int):
-    """Single-dispatch build: passes 1-5 fused.  ``u_pad`` is sized from
-    the window count (>= the distinct-k-mer count by construction), so no
-    mid-pipeline scalar fetch is needed -- on the tunneled runtime every
-    fetch is a full RPC round trip and dominated the two-dispatch form.
-
-    ``offsets``: int32 [65] record-start positions (padded by repeating
-    the end-of-genomes position, which lands in the N-sentinel pad region
-    where every window is invalid anyway) -- the [Gp] record-start plane
-    builds on device, because shipping it as int32 was 4 B/base of
-    upload and capped the build at ~13 Mbp/s over the tunnel."""
-    rec_start = jnp.zeros(codes.shape[0] * 4, jnp.int32).at[offsets].set(1)
-    out = _build_sorted_core(codes, nmask, rec_start, k=k)
-    klo, khi, sid, gc, fs, num_sets, set_mlo, set_mhi = _finish_table_core(
-        out, u_pad=u_pad)
-    return (klo, khi, sid, gc, fs, out.num_kmers, num_sets,
-            set_mlo[:SMAX], set_mhi[:SMAX])
+    g = int(genomes.codes.size)
+    gp = pad_rows(g + max(k - 1, 1), lo=4096)
+    nc, nm = gp // 4, gp // 8
+    buf = np.empty(nc + nm + (R_CAP + 1) * 4, dtype=np.uint8)
+    codes2 = buf[:nc]
+    nmask = buf[nc: nc + nm]
+    if not _native.pack2(genomes.codes, gp, codes2, nmask):
+        codes = np.empty(gp, dtype=np.uint8)
+        codes[:g] = genomes.codes
+        codes[g:] = 4  # pad bytes act like N
+        cq = codes.reshape(-1, 4)
+        codes2[:] = (cq[:, 0] & 3) | ((cq[:, 1] & 3) << 2) \
+            | ((cq[:, 2] & 3) << 4) | ((cq[:, 3] & 3) << 6)
+        bad = codes >= 4
+        bq = bad.reshape(-1, 8).astype(np.uint8)
+        nmask[:] = (bq[:, 0] | (bq[:, 1] << 1) | (bq[:, 2] << 2)
+                    | (bq[:, 3] << 3) | (bq[:, 4] << 4) | (bq[:, 5] << 5)
+                    | (bq[:, 6] << 6) | (bq[:, 7] << 7))
+    offsets = np.full(R_CAP + 1, g, dtype=np.int32)
+    offsets[: genomes.num_records] = genomes.offsets[:-1]
+    buf[nc + nm:] = offsets.astype("<i4").view(np.uint8)
+    return buf, gp
 
 
 def device_build_tables(genomes, k: int, pad_rows) -> Optional[dict]:
-    """Build the padded sorted probe table + set table on device.
+    """Build the padded sorted probe table + set member table on device.
 
     ``genomes``: io.packing.GenomeArrays; ``pad_rows``: the shape-bucket
     function (reference.KmerReference._pad_rows).  Returns a dict with
-    device arrays {klo, khi, sid, gc} (shaped [U_pad] per the bucket),
-    host set_masks (uint8 [S, 8]), first_seen (device [U_pad]), and ints
-    num_kmers/num_sets -- or None when unsupported (k > 31, R > 64,
-    genomes shorter than k, or more than SMAX distinct genome-sets).
-
-    One upload, one dispatch, one fetch: ``u_pad`` is bucketed from the
-    window count rather than the true distinct count (equal buckets for
-    low-redundancy genomes; repetitive genomes carry dead pad rows, which
-    the probe skips by contract).
+    device arrays {klo, khi, sid, gc} (table length == the gp shape
+    bucket), host ``set_masks`` (uint8 [num_sets, ceil(R/8)] where rows
+    [0, R) are the singleton sets and rows >= R_CAP' remap to R + j),
+    ``sid_base_multi`` = R_CAP, and ints num_kmers/num_sets -- or None
+    when unsupported (k > 31, R > R_CAP, genomes shorter than k, more
+    than SMAX multi sets, more than PMAX multi pairs, or a detected hash
+    collision -- callers fall back to the bit-identical host builder).
     """
-    if k > 31 or genomes.num_records > 64 or genomes.codes.size < k:
+    if k > 31 or genomes.num_records > R_CAP or genomes.codes.size < k:
         return None
-    g = int(genomes.codes.size)
-    # at least one N-sentinel pad byte even at k == 1, so the offsets
-    # padding position g is always inside the invalid region; gp is a
-    # multiple of 8 by construction (pow2/2^24-multiple buckets >= 4096)
-    gp = pad_rows(g + max(k - 1, 1), lo=4096)
-    codes = np.full(gp, 4, dtype=np.uint8)  # pad bytes act like N
-    codes[:g] = genomes.codes
-    # transfer diet: 2-bit pack + N/pad bitmask (0.375 B/base upload)
-    cq = codes.reshape(-1, 4)
-    codes2 = (cq[:, 0] & 3) | ((cq[:, 1] & 3) << 2) \
-        | ((cq[:, 2] & 3) << 4) | ((cq[:, 3] & 3) << 6)
-    nmask = np.packbits(codes >= 4, bitorder="little")
-    # record starts, padded to a fixed 65 entries with the end position
-    # (inside the N pad region: every window there is invalid, so the
-    # spurious "start" can never change a real window's record id)
-    offsets = np.full(65, g, dtype=np.int32)
-    offsets[: genomes.num_records] = genomes.offsets[:-1]
-    u_pad = pad_rows(gp - k + 1)
+    r = genomes.num_records
+    t0 = time.perf_counter()
+    buf, gp = _host_prep(genomes, k, pad_rows)
+    prep_s = time.perf_counter() - t0
 
-    klo, khi, sid, gc, fs, num_kmers_d, num_sets_d, set_mlo, set_mhi = \
-        _build_tables(jnp.asarray(codes2), jnp.asarray(nmask),
-                      jnp.asarray(offsets), k=k, u_pad=u_pad)
-    # ONE fetch: scalars + the (truncated) set-mask table together
-    u, s, mlo_h, mhi_h = jax.device_get(
-        (num_kmers_d, num_sets_d, set_mlo, set_mhi))
-    u, s = int(u), int(s)
-    if s > SMAX:
+    (klo, khi, sid, gc, num_kmers_d, n_multi_d, n_pairs_d,
+     pairs_hd, pair_gc_hd, pairs_fd, pair_gc_fd) = _build_tables_v2(
+        jnp.asarray(buf), jnp.int32(r), k=k, gp=gp)
+    # ONE fetch: scalars + the pair-list head together; the full pair
+    # tail costs a second RPC only for multi-set-heavy corpora
+    u, n_multi, n_pairs, pairs, pair_gc = jax.device_get(
+        (num_kmers_d, n_multi_d, n_pairs_d, pairs_hd, pair_gc_hd))
+    u, n_multi, n_pairs = int(u), int(n_multi), int(n_pairs)
+    if n_multi > SMAX or n_pairs > PMAX:
         return None
-    mlo_h = np.ascontiguousarray(mlo_h[:s].astype("<u4"))
-    mhi_h = np.ascontiguousarray(mhi_h[:s].astype("<u4"))
-    set_masks = np.zeros((s, 8), dtype=np.uint8)
-    if s:
-        set_masks[:, :4] = mlo_h.view(np.uint8).reshape(s, 4)
-        set_masks[:, 4:] = mhi_h.view(np.uint8).reshape(s, 4)
+    if n_pairs > PHEAD:
+        pairs, pair_gc = jax.device_get((pairs_fd, pair_gc_fd))
+
+    gbytes = max((r + 7) // 8, 1)
+    num_sets = r + n_multi
+    set_masks = np.zeros((num_sets, gbytes), dtype=np.uint8)
+    rr = np.arange(r)
+    set_masks[rr, rr >> 3] = np.uint8(1) << (rr & 7).astype(np.uint8)
+    if n_pairs:
+        pk = pairs[:n_pairs].astype(np.int64)
+        pgc = pair_gc[:n_pairs].astype(np.int64)
+        sidx = pk // R_CAP          # multi set index j in [0, n_multi)
+        recx = pk % R_CAP
+        # EXACT collision check: within each multi sid, the union size
+        # (distinct pair count) must equal every member group's gc; two
+        # different sets merged by a hash collision have a larger union
+        counts = np.bincount(sidx, minlength=n_multi)
+        if (counts[sidx] != pgc).any() or (recx >= r).any():
+            return None  # collision (astronomically rare): host rebuild
+        np.bitwise_or.at(
+            set_masks, (r + sidx, recx >> 3),
+            np.uint8(1) << (recx & 7).astype(np.uint8))
     return dict(
-        klo=klo, khi=khi, sid=sid, gc=gc, first_seen=fs,
-        num_kmers=u, num_sets=s, set_masks=set_masks,
+        klo=klo, khi=khi, sid=sid, gc=gc,
+        num_kmers=u, num_sets=num_sets, set_masks=set_masks,
+        sid_base_multi=R_CAP, num_records=r, prep_s=prep_s,
     )

@@ -97,6 +97,9 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.stpu_build_fetch_sets.argtypes = [ctypes.c_void_p, u8p, i32p]
         lib.stpu_build_free.restype = None
         lib.stpu_build_free.argtypes = [ctypes.c_void_p]
+        lib.stpu_pack2.restype = None
+        lib.stpu_pack2.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, u8p, u8p, ctypes.c_int64]
         _lib = lib
     except Exception:
         _lib_failed = True
@@ -439,3 +442,21 @@ def fasta_parse(data: bytes):
         for i in range(n_rec)
     ]
     return codes[:total_bases], seq_offsets, descriptions
+
+
+def pack2(codes: np.ndarray, gp: int, codes2_out: np.ndarray,
+          nmask_out: np.ndarray) -> bool:
+    """2-bit pack + N/pad bitmask of a code plane directly into caller
+    buffers (the device-build upload; native/kmer_build.cpp stpu_pack2).
+    Bases beyond ``codes.size`` act like N/pad.  False -> lib missing,
+    caller uses the numpy fallback."""
+    lib = _load()
+    if lib is None:
+        return False
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    lib.stpu_pack2(
+        _ptr(codes, ctypes.c_uint8), codes.size, gp,
+        _ptr(codes2_out, ctypes.c_uint8), _ptr(nmask_out, ctypes.c_uint8),
+        2,
+    )
+    return True

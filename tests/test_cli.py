@@ -246,3 +246,24 @@ def test_internal_valueerror_is_not_swallowed(tmp_path, corpus):
     assert out.returncode != 0
     assert "Traceback" in out.stderr
     assert "internal bug: bad reshape" in out.stderr
+
+
+def test_golden_plain_via_device_build():
+    """The dumpalign -g device-build route (cli.py size window forced
+    open) byte-matches the recorded reference golden -- the default
+    window skips tiny corpora, so this pins the CLI wiring explicitly."""
+    args = [
+        a.replace("data/", os.path.join(GOLDEN, "data") + "/")
+        for a in _MANIFEST["plain"]["args"]
+    ]
+    env = dict(os.environ)
+    env["SHOTGUN_TPU_PLATFORM"] = "cpu"
+    env["SHOTGUN_TPU_DEVICE_BUILD_MIN"] = "0"
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "main.py")]
+        + args + ["--batch-size", "64"],
+        cwd=REPO, capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr
+    expected = open(os.path.join(GOLDEN, "plain.out")).read()
+    assert out.stdout == expected
