@@ -524,44 +524,60 @@ extern "C" void stpu_build_fetch_sets(void* handle, uint8_t* set_masks,
 extern "C" void stpu_build_free(void* handle) { delete (BuildState*)handle; }
 
 // ---------------------------------------------------------------------------
-// 2-bit pack + N/pad bitmask for the device-side DB build upload
-// (shotgun_tpu/index/device_build.py _host_prep).  One pass over the raw
-// code plane instead of numpy's ~7; bases beyond g act like N (pad).
+// 2-bit pack + sparse N-run extraction for the device-side DB build
+// upload (shotgun_tpu/index/device_build.py _host_prep).  One pass over
+// the raw code plane; N positions pack as code 0 and are invalidated on
+// device via the run list.  Runs are emitted as (start, end) int32 pairs;
+// a run split at a thread boundary is fine (the device rebuilds the mask
+// from +1/-1 deltas, which cancel at the split point).  Returns the run
+// count, or -1 if it exceeds runs_cap (caller falls back).
 // ---------------------------------------------------------------------------
-extern "C" void stpu_pack2(const uint8_t* codes, int64_t g, int64_t gp,
-                           uint8_t* codes2, uint8_t* nmask,
-                           int64_t n_threads) {
-  auto work = [&](int64_t b0, int64_t b1) {  // [b0, b1) in 8-base blocks
-    for (int64_t blk = b0; blk < b1; ++blk) {
-      int64_t base = blk * 8;
-      uint8_t c2a = 0, c2b = 0, nm = 0;
-      for (int j = 0; j < 8; ++j) {
-        int64_t i = base + j;
-        uint8_t c = (i < g) ? codes[i] : 4;
-        uint8_t two = c & 3;
-        if (j < 4)
-          c2a |= (uint8_t)(two << (2 * j));
-        else
-          c2b |= (uint8_t)(two << (2 * (j - 4)));
-        if (c >= 4) nm |= (uint8_t)(1u << j);
-      }
-      codes2[2 * blk] = c2a;
-      codes2[2 * blk + 1] = c2b;
-      nmask[blk] = nm;
-    }
-  };
-  int64_t blocks = gp / 8;
+extern "C" int64_t stpu_pack2(const uint8_t* codes, int64_t g, int64_t gp,
+                              uint8_t* codes2, int32_t* runs_out,
+                              int64_t runs_cap, int64_t n_threads) {
   int64_t nt = n_threads < 1 ? 1 : n_threads;
+  int64_t blocks = gp / 4;  // one output byte per 4 bases
+  std::vector<std::vector<int32_t>> runs(nt);
+  auto work = [&](int64_t t, int64_t b0, int64_t b1) {
+    auto& rv = runs[t];
+    bool in_run = false;
+    for (int64_t blk = b0; blk < b1; ++blk) {
+      int64_t base = blk * 4;
+      uint8_t c2 = 0;
+      for (int j = 0; j < 4; ++j) {
+        int64_t i = base + j;
+        uint8_t c = (i < g) ? codes[i] : 0;  // pad handled by caller run
+        c2 |= (uint8_t)((c & 3) << (2 * j));
+        bool bad = (i < g) && c >= 4;
+        if (bad && !in_run) {
+          rv.push_back((int32_t)i);
+          in_run = true;
+        } else if (!bad && in_run) {
+          rv.push_back((int32_t)i);
+          in_run = false;
+        }
+      }
+      codes2[blk] = c2;
+    }
+    if (in_run) rv.push_back((int32_t)(b1 * 4));  // close at block edge
+  };
   if (nt == 1 || blocks < (1 << 16)) {
-    work(0, blocks);
-    return;
+    work(0, 0, blocks);
+  } else {
+    std::vector<std::thread> ts;
+    int64_t per = (blocks + nt - 1) / nt;
+    for (int64_t t = 0; t < nt; ++t) {
+      int64_t b0 = t * per, b1 = std::min(blocks, b0 + per);
+      if (b0 >= b1) break;
+      ts.emplace_back(work, t, b0, b1);
+    }
+    for (auto& t : ts) t.join();
   }
-  std::vector<std::thread> ts;
-  int64_t per = (blocks + nt - 1) / nt;
-  for (int64_t t = 0; t < nt; ++t) {
-    int64_t b0 = t * per, b1 = std::min(blocks, b0 + per);
-    if (b0 >= b1) break;
-    ts.emplace_back(work, b0, b1);
-  }
-  for (auto& t : ts) t.join();
+  int64_t n = 0;
+  for (auto& rv : runs) n += (int64_t)rv.size() / 2;
+  if (n > runs_cap) return -1;
+  int64_t w = 0;
+  for (auto& rv : runs)
+    for (size_t i = 0; i < rv.size(); ++i) runs_out[w++] = rv[i];
+  return n;
 }

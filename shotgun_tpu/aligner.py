@@ -525,13 +525,70 @@ class PseudoAlignment:
                     or min_kmer_quality is not None)
         dummy_qual = np.zeros((b, 1), dtype=np.uint8)
 
-        # dumpalign path (no stored reads, single device): fold AggResults
-        # on device, one fetch at the end (see align_stream)
-        device_fold = mesh is None and not store_reads
+        # single-device paths fold AggResults on device, one fetch at the
+        # end (see align_stream); the store path additionally packs the
+        # per-read outputs into TWO device arrays per batch, concatenated
+        # on device and fetched once -- fetching eight result leaves per
+        # batch cost ~50x the align time in RPC round trips on the
+        # remote-dispatch runtime (r5 bench measurement)
+        device_fold = mesh is None
         carry = (init_fold_carry(int(np.asarray(member_dev).shape[1]),
                                  start_batch=self._batch_no)
                  if device_fold else None)
         n_batches = 0
+        packs = []
+
+        # align-task superbatching: S sub-batches ship as one transfer
+        # and run as ONE lax.scan dispatch with the packed per-read store
+        # outputs stacked as scan ys -- the same RPC diet as the
+        # dumpalign stream path (per-batch dispatches cost ~0.14 s each
+        # on the tunneled runtime; measured 3x the stream path in r5)
+        sb_store = 8 if (store_reads and mesh is None and n >= 8 * b) else 1
+        if sb_store > 1:
+            from shotgun_tpu.models.pipeline import align_fold_superbatch
+
+            dummy_qual_dev = None if use_qual else jnp.asarray(dummy_qual)
+            group = sb_store * b
+            for gstart in range(0, n, group):
+                grows = min(group, n - gstart)
+                codes = np.zeros((group, lpad), dtype=np.uint8)
+                codes[:grows, : batch.max_len] = \
+                    batch.codes[gstart: gstart + grows]
+                lengths = np.zeros(group, dtype=np.int32)
+                lengths[:grows] = batch.lengths[gstart: gstart + grows]
+                codes_p = pack_codes_2bit(codes)
+                if use_qual:
+                    qual = np.zeros((group, lpad), dtype=np.uint8)
+                    qual[:grows, : batch.max_len] = \
+                        batch.qual[gstart: gstart + grows]
+                    qual_dev = jnp.asarray(qual.reshape(sb_store, b, -1))
+                else:
+                    qual_dev = dummy_qual_dev
+                carry, words, keys = align_fold_superbatch(
+                    carry, probe_tab, member_dev,
+                    jnp.asarray(codes_p.reshape(sb_store, b, -1)),
+                    qual_dev,
+                    jnp.asarray(lengths.reshape(sb_store, b)),
+                    m_t, p_t, mrq_t, mkq_t, mg_t,
+                    k=k, packed=True, store=True,
+                    has_mrq=min_read_quality is not None,
+                    has_mkq=min_kmer_quality is not None,
+                    has_mg=max_genomes is not None,
+                )
+                packs.append((words.reshape(group),
+                              keys.reshape(group, -1)))
+                n_batches += sb_store
+            import jax
+
+            words_d = jnp.concatenate([p[0] for p in packs])
+            keys_d = jnp.concatenate([p[1] for p in packs])
+            words_np, keys_np = jax.device_get((words_d, keys_d))
+            # groups fill contiguously: rows [0, n) ARE the reads
+            self._store_packed_reads(
+                words_np[:n], keys_np[:n], batch.ids, r)
+            self._merge_fold_carry(jax.device_get(carry), r)
+            self._batch_no += n_batches
+            return
 
         pending = []
         for start in range(0, n, b):
@@ -572,29 +629,41 @@ class PseudoAlignment:
                     has_mg=max_genomes is not None,
                     packed=True,
                 )
+                carry = fold_agg_device(carry, agg)
+                n_batches += 1
                 if store_reads:
-                    pending.append((agg, res, start, rows))
-                    continue
-                if device_fold:
-                    carry = fold_agg_device(carry, agg)
-                    n_batches += 1
-                    continue
+                    from shotgun_tpu.models.pipeline import pack_store_words
+
+                    packs.append(pack_store_words(
+                        res, max_w=lpad - k + 1))
+                continue
             pending.append((agg, None, start, rows))
 
         if device_fold:
             import jax
 
+            if packs:
+                # device concat -> exactly TWO fetched arrays for the run
+                words_d = jnp.concatenate([p[0] for p in packs])
+                keys_d = jnp.concatenate([p[1] for p in packs])
+                words_np, keys_np = jax.device_get((words_d, keys_d))
+                # drop the tail padding of each batch (lengths-0 rows)
+                sel = np.concatenate([
+                    np.arange(j * b, j * b + min(b, n - j * b))
+                    for j in range(n_batches)
+                ]) if n else np.zeros(0, np.int64)
+                self._store_packed_reads(
+                    words_np[sel], keys_np[sel], batch.ids, r)
             self._merge_fold_carry(jax.device_get(carry), r)
             self._batch_no += n_batches
             return
 
-        # fold after all batches are dispatched: device queue stays full
-        # and each host sync happens once results are already done
-        for agg, res, start, rows in pending:
-            if res is not None:
-                self._store_batch_reads(
-                    res, batch.ids[start: start + rows], rows, r
-                )
+        # mesh path: fold after all batches are dispatched with ONE bulk
+        # device_get (per-batch fetches cost ~9 RPC round trips each)
+        import jax
+
+        pending = jax.device_get(pending)
+        for agg, _res, start, rows in pending:
             self._fold_agg(agg, r)
             self._batch_no += 1
 
@@ -838,25 +907,29 @@ class PseudoAlignment:
         self._first_batch[fresh] = self._batch_no
         self._first_key[fresh] = key[fresh]
 
-    def _store_batch_reads(
-        self, res, ids: Sequence[str], rows: int, r: int
+    def _store_packed_reads(
+        self, word: np.ndarray, keys: np.ndarray, ids: Sequence[str],
+        r: int,
     ) -> None:
-        mtype = np.asarray(res.mtype)[:rows]
-        winner = np.asarray(res.winner)[:rows]
-        downgraded = np.asarray(res.downgraded)[:rows]
-        amb_mask = np.asarray(res.amb_mask)[:rows, :r]
-        fw_sel = np.asarray(res.fw_sel)[:rows, :r].astype(np.int64)
-        filtered = np.asarray(res.read_filtered)[:rows]
+        """Unpack the device store words (models.pipeline.pack_store_words)
+        for a whole align run and extend the read store -- vectorized
+        except the rare duplicate-id error walk."""
+        rows = word.size
+        mtype = word & 3
+        downgraded = ((word >> 2) & 1).astype(bool)
+        filtered = ((word >> 3) & 1).astype(bool)
+        winner = word >> 4
 
+        # sentinel depends on the key dtype (int16 when window counts
+        # fit -- pipeline.pack_store_words)
+        sent = (int(np.iinfo(np.int16).max) if keys.dtype == np.int16
+                else int(0x3FFFFFFF))
+        in_list = keys[:, :r] < sent
         r_iota = np.arange(r, dtype=np.int64)[None, :]
-        key = fw_sel * r + r_iota
-        key[np.arange(rows), winner] = np.where(
-            downgraded, -1, key[np.arange(rows), winner]
-        )
-        in_list = np.where(
-            (mtype == 1)[:, None], r_iota == winner[:, None], amb_mask
-        )
-        key = np.where(in_list, key, _INF)
+        key = np.where(in_list, keys[:, :r].astype(np.int64) * r + r_iota,
+                       _INF)
+        ar = np.arange(rows)
+        key[ar, winner] = np.where(downgraded, -1, key[ar, winner])
         order = np.argsort(key, axis=1, kind="stable")
         in_sorted = np.take_along_axis(in_list, order, axis=1)
 
@@ -972,7 +1045,7 @@ class PseudoAlignment:
             ],
         }
         with open(align_file, "wb") as fh:
-            np.savez_compressed(
+            np.savez(  # uncompressed: see KmerReference.save_to
                 fh,
                 meta=np.frombuffer(json.dumps(meta).encode("utf-8"), dtype=np.uint8),
                 read_ids=np.frombuffer(

@@ -75,6 +75,10 @@ PMAX = 1 << 17
 #: (most corpora have few multi sets); the full [PMAX] tail is fetched
 #: in a second RPC only when n_pairs exceeds it
 PHEAD = 4096
+#: cap on uploaded N-run (start, end) pairs; draft genomes carry
+#: thousands of assembly-gap runs, so the cap is generous -- past it the
+#: caller falls back to the host builder
+NRUNS_CAP = 1 << 16
 
 
 def _mix32(x):
@@ -123,25 +127,35 @@ def _reverse_segmented_or_bcast(last, val):
 @functools.partial(jax.jit, static_argnames=("k", "gp"))
 def _build_tables_v2(buf, r_num, *, k: int, gp: int):
     """Single-dispatch general build.  ``buf`` is the combined upload:
-    [gp/4] 2-bit packed codes ++ [gp/8] N/pad bitmask ++ [(R_CAP+1)*4]
-    little-endian int32 record-start offsets (one host->device RPC);
+    [gp/4] 2-bit packed codes ++ [NRUNS_CAP*2] int32 N-run (start, end)
+    pairs ++ [(R_CAP+1)] int32 record-start offsets, all little-endian
+    bytes in ONE host->device RPC.  N/pad positions pack as code 0 and
+    are invalidated here by rebuilding the bad plane from +1/-1 run
+    deltas (0.25 B/base upload; the r5a dense bitmask was 0.375).
     ``r_num`` is the record count as a TRACED int32 scalar, so differing
     record counts share one executable."""
     nc = gp // 4
-    nm = gp // 8
     codes2 = buf[:nc]
-    nmask = buf[nc: nc + nm]
-    ob = buf[nc + nm:].astype(jnp.int32)
-    offsets = (ob[0::4] | (ob[1::4] << 8) | (ob[2::4] << 16)
-               | (ob[3::4] << 24))
+
+    def i32s(lo, n):
+        b4 = buf[lo: lo + 4 * n].astype(jnp.int32)
+        return (b4[0::4] | (b4[1::4] << 8) | (b4[2::4] << 16)
+                | (b4[3::4] << 24))
+
+    run_s = i32s(nc, NRUNS_CAP)
+    run_e = i32s(nc + 4 * NRUNS_CAP, NRUNS_CAP)
+    offsets = i32s(nc + 8 * NRUNS_CAP, R_CAP + 1)
 
     # ---- unpack + window encode ----
     u8 = codes2.astype(jnp.uint32)[:, None]
     shifts = jnp.arange(4, dtype=jnp.uint32)[None, :] * jnp.uint32(2)
     c32 = ((u8 >> shifts) & jnp.uint32(3)).reshape(gp)
-    nb = nmask.astype(jnp.uint32)[:, None]
-    bshifts = jnp.arange(8, dtype=jnp.uint32)[None, :]
-    bad = ((nb >> bshifts) & jnp.uint32(1)).astype(jnp.int32).reshape(gp)
+    # bad plane from sparse run deltas: +1 at starts, -1 at ends (length
+    # gp + 1 so an end at gp cannot clip onto a real position); unused
+    # run slots are (0, 0) pairs whose deltas cancel
+    delta = (jnp.zeros(gp + 1, jnp.int32)
+             .at[run_s].add(1).at[run_e].add(-1))
+    bad = (jnp.cumsum(delta[:gp]) > 0).astype(jnp.int32)
     rec_start = jnp.zeros(gp, jnp.int32).at[offsets].set(1)
 
     w = gp - k + 1
@@ -266,33 +280,51 @@ def _build_tables_v2(buf, r_num, *, k: int, gp: int):
 
 
 def _host_prep(genomes, k: int, pad_rows):
-    """2-bit pack + N/pad bitmask + offsets, combined into ONE upload
+    """2-bit pack + sparse N-run list + offsets, combined into ONE upload
     buffer (every separate host->device array is an RPC round trip).
-    The pack itself runs in the native lib (one pass, 2 threads) with a
-    numpy fallback writing into the same combined buffer."""
+    The pack runs in the native lib (one pass, 2 threads) with a numpy
+    fallback.  Returns (buf, gp) or None when the corpus has more than
+    NRUNS_CAP N runs (caller falls back to the host builder)."""
     from shotgun_tpu.io import native as _native
 
     g = int(genomes.codes.size)
     gp = pad_rows(g + max(k - 1, 1), lo=4096)
-    nc, nm = gp // 4, gp // 8
-    buf = np.empty(nc + nm + (R_CAP + 1) * 4, dtype=np.uint8)
+    nc = gp // 4
+    buf = np.empty(nc + 8 * NRUNS_CAP + (R_CAP + 1) * 4, dtype=np.uint8)
     codes2 = buf[:nc]
-    nmask = buf[nc: nc + nm]
-    if not _native.pack2(genomes.codes, gp, codes2, nmask):
+    runs = np.zeros(2 * NRUNS_CAP, dtype=np.int32)  # interleaved (s, e)
+    # one N-run slot is reserved for the pad region below
+    n_runs = _native.pack2(genomes.codes, gp, codes2,
+                           runs[: 2 * (NRUNS_CAP - 1)])
+    if n_runs is None:
+        # numpy fallback: pack + run extraction via boolean diffs
         codes = np.empty(gp, dtype=np.uint8)
         codes[:g] = genomes.codes
-        codes[g:] = 4  # pad bytes act like N
+        codes[g:] = 0
         cq = codes.reshape(-1, 4)
         codes2[:] = (cq[:, 0] & 3) | ((cq[:, 1] & 3) << 2) \
             | ((cq[:, 2] & 3) << 4) | ((cq[:, 3] & 3) << 6)
         bad = codes >= 4
-        bq = bad.reshape(-1, 8).astype(np.uint8)
-        nmask[:] = (bq[:, 0] | (bq[:, 1] << 1) | (bq[:, 2] << 2)
-                    | (bq[:, 3] << 3) | (bq[:, 4] << 4) | (bq[:, 5] << 5)
-                    | (bq[:, 6] << 6) | (bq[:, 7] << 7))
+        bad[g:] = False
+        edges = np.flatnonzero(np.diff(
+            np.concatenate([[False], bad, [False]]).astype(np.int8)))
+        n_runs = edges.size // 2
+        if n_runs > NRUNS_CAP - 1:
+            return None
+        runs[: edges.size] = edges
+    elif n_runs < 0:
+        return None
+    # pad region acts like one N run (g, gp)
+    runs[2 * n_runs] = g
+    runs[2 * n_runs + 1] = gp
+    rr = runs.reshape(-1, 2)
+    buf[nc: nc + 4 * NRUNS_CAP] = np.ascontiguousarray(
+        rr[:, 0]).astype("<i4").view(np.uint8)
+    buf[nc + 4 * NRUNS_CAP: nc + 8 * NRUNS_CAP] = np.ascontiguousarray(
+        rr[:, 1]).astype("<i4").view(np.uint8)
     offsets = np.full(R_CAP + 1, g, dtype=np.int32)
     offsets[: genomes.num_records] = genomes.offsets[:-1]
-    buf[nc + nm:] = offsets.astype("<i4").view(np.uint8)
+    buf[nc + 8 * NRUNS_CAP:] = offsets.astype("<i4").view(np.uint8)
     return buf, gp
 
 
@@ -313,7 +345,10 @@ def device_build_tables(genomes, k: int, pad_rows) -> Optional[dict]:
         return None
     r = genomes.num_records
     t0 = time.perf_counter()
-    buf, gp = _host_prep(genomes, k, pad_rows)
+    prep = _host_prep(genomes, k, pad_rows)
+    if prep is None:
+        return None  # > NRUNS_CAP N runs: host builder handles it
+    buf, gp = prep
     prep_s = time.perf_counter() - t0
 
     (klo, khi, sid, gc, num_kmers_d, n_multi_d, n_pairs_d,
@@ -353,3 +388,77 @@ def device_build_tables(genomes, k: int, pad_rows) -> Optional[dict]:
         num_kmers=u, num_sets=num_sets, set_masks=set_masks,
         sid_base_multi=R_CAP, num_records=r, prep_s=prep_s,
     )
+
+
+#: hash-table sizing for the device hash build (matches the host
+#: builder's 16-slot wide-bucket layout for big tables: 64 B/key)
+HASH_SLOTS = 16
+HASH_LAMBDA = 4.0
+STASH_PAD = 64
+
+
+@functools.partial(jax.jit, static_argnames=("nb",))
+def _hash_table_from_rows(klo, khi, sid, gc, *, nb: int):
+    """Bucketized single-gather hash table (index/hashtable.py layout)
+    from the v2 sorted table rows, entirely on device.
+
+    Distinct keys (first row of each duplicate run) hash to their
+    primary bucket; rank-within-bucket comes from one 1-key sort plus a
+    cummax, and the [nb, SLOTS, 4] table materializes with a single
+    ``mode="drop"`` scatter (dup/pad/overflow rows simply drop).
+    Overflow keys land in a STASH_PAD-row stash via a second tiny
+    ordinal scatter; if the stash overflows the caller doubles ``nb``.
+    Replaces the host ``build_probe_table`` for device-built references
+    above the auto hash threshold, where the sort-join probe's
+    per-batch table re-sort dominates align time."""
+    from shotgun_tpu.ops.encode import mix32
+
+    n = klo.shape[0]
+    live = gc > 0
+    new = live & jnp.concatenate([
+        jnp.ones(1, dtype=bool),
+        (klo[1:] != klo[:-1]) | (khi[1:] != khi[:-1])])
+    bucket = jnp.where(
+        new, (mix32(klo, khi, jnp) & jnp.uint32(nb - 1)).astype(jnp.int32),
+        jnp.int32(nb))
+    bs, klo2, khi2, sid2, gc2 = jax.lax.sort(
+        (bucket, klo, khi, sid, gc), num_keys=1, is_stable=False)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    newb = jnp.concatenate([jnp.ones(1, dtype=bool), bs[1:] != bs[:-1]])
+    start = jax.lax.cummax(jnp.where(newb, iota, jnp.int32(-1)))
+    rank = iota - start
+    real = bs < jnp.int32(nb)
+    placed = real & (rank < HASH_SLOTS)
+    vals = jnp.stack([klo2, khi2, sid2.astype(jnp.uint32),
+                      gc2.astype(jnp.uint32)], axis=-1)
+    table = jnp.zeros((nb, HASH_SLOTS, 4), jnp.uint32)
+    table = table.at[..., 2].set(jnp.uint32(_ONES))  # sid EMPTY marker
+    tb = jnp.where(placed, bs, jnp.int32(nb))  # nb -> dropped
+    ts = jnp.where(placed, rank, jnp.int32(0))
+    table = table.at[tb, ts].set(vals, mode="drop")
+    # stash: overflow keys by global ordinal (collisions past the cap
+    # clip onto the last row, but then n_stash > STASH_PAD and the
+    # caller rebuilds wider anyway)
+    over = real & (rank >= HASH_SLOTS)
+    n_stash = jnp.sum(over.astype(jnp.int32))
+    ordn = jnp.cumsum(over.astype(jnp.int32)) - 1
+    stash = jnp.full((STASH_PAD, 4), _ONES, jnp.uint32)
+    srow = jnp.where(over, jnp.minimum(ordn, STASH_PAD - 1),
+                     jnp.int32(STASH_PAD))
+    stash = stash.at[srow].set(vals, mode="drop")
+    return table, stash, n_stash
+
+
+def device_hash_table(built: dict):
+    """Build the 16-slot device hash table from ``device_build_tables``
+    output; returns (table, stash) device arrays or None if the stash
+    cannot be satisfied (pathological key sets)."""
+    u = built["num_kmers"]
+    nb = 1 << max(int(max(u / HASH_LAMBDA, 1)) - 1, 1).bit_length()
+    for _ in range(3):
+        table, stash, n_stash_d = _hash_table_from_rows(
+            built["klo"], built["khi"], built["sid"], built["gc"], nb=nb)
+        if int(jax.device_get(n_stash_d)) <= STASH_PAD:
+            return table, stash
+        nb *= 2
+    return None

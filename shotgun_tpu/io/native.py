@@ -97,9 +97,10 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.stpu_build_fetch_sets.argtypes = [ctypes.c_void_p, u8p, i32p]
         lib.stpu_build_free.restype = None
         lib.stpu_build_free.argtypes = [ctypes.c_void_p]
-        lib.stpu_pack2.restype = None
+        lib.stpu_pack2.restype = ctypes.c_int64
         lib.stpu_pack2.argtypes = [
-            u8p, ctypes.c_int64, ctypes.c_int64, u8p, u8p, ctypes.c_int64]
+            u8p, ctypes.c_int64, ctypes.c_int64, u8p, i32p,
+            ctypes.c_int64, ctypes.c_int64]
         _lib = lib
     except Exception:
         _lib_failed = True
@@ -445,18 +446,18 @@ def fasta_parse(data: bytes):
 
 
 def pack2(codes: np.ndarray, gp: int, codes2_out: np.ndarray,
-          nmask_out: np.ndarray) -> bool:
-    """2-bit pack + N/pad bitmask of a code plane directly into caller
-    buffers (the device-build upload; native/kmer_build.cpp stpu_pack2).
-    Bases beyond ``codes.size`` act like N/pad.  False -> lib missing,
-    caller uses the numpy fallback."""
+          runs_out: np.ndarray) -> Optional[int]:
+    """2-bit pack of a code plane directly into a caller buffer plus a
+    sparse (start, end) N-run list (the device-build upload;
+    native/kmer_build.cpp stpu_pack2).  Returns the run count, -1 when
+    the runs exceed the buffer (caller falls back to the host builder),
+    or None when the lib is missing (caller packs with numpy)."""
     lib = _load()
     if lib is None:
-        return False
+        return None
     codes = np.ascontiguousarray(codes, dtype=np.uint8)
-    lib.stpu_pack2(
+    return int(lib.stpu_pack2(
         _ptr(codes, ctypes.c_uint8), codes.size, gp,
-        _ptr(codes2_out, ctypes.c_uint8), _ptr(nmask_out, ctypes.c_uint8),
-        2,
-    )
-    return True
+        _ptr(codes2_out, ctypes.c_uint8), _ptr(runs_out, ctypes.c_int32),
+        runs_out.size // 2, 2,
+    ))

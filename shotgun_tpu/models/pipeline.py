@@ -548,7 +548,7 @@ def align_fold_batch(
 @functools.partial(
     jax.jit,
     static_argnames=("k", "has_mrq", "has_mkq", "has_mg", "packed",
-                     "len_in_codes"),
+                     "len_in_codes", "store"),
     donate_argnums=(0,),
 )
 def align_fold_superbatch(
@@ -566,9 +566,16 @@ def align_fold_superbatch(
     has_mg: bool,
     packed: bool = False,
     len_in_codes: bool = False,
+    store: bool = False,
 ) -> FoldCarry:
     """S streamed sub-batches in ONE dispatch: ``lax.scan`` of the fused
     align+aggregate+fold body over the leading axis.
+
+    ``store``: additionally stack each sub-batch's packed per-read store
+    outputs (``pack_store_words``) as scan ys and return
+    ``(carry, words [S, B], keys [S, B, R])`` -- the align-task path
+    (store_reads=True) gets the same one-dispatch-per-S RPC diet as the
+    dumpalign stream.
 
     Motivation is the remote-dispatch runtime, where every host->device
     transfer and every program dispatch is an RPC round trip: shipping S
@@ -669,15 +676,60 @@ def align_fold_superbatch(
                 packed=packed,
             )
         row_valid = len_b > jnp.int32(0)
-        return _fold_agg(c, aggregate_batch(res, row_valid)), None
+        folded = _fold_agg(c, aggregate_batch(res, row_valid))
+        return folded, (pack_store_words(res, max_w=n_words_c - k + 1)
+                        if store else None)
 
     if probe_shared is not None:
         xs = ((*probe_shared, qual, lengths) if scan_qual
               else (*probe_shared, lengths))
     else:
         xs = (codes, qual, lengths) if scan_qual else (codes, lengths)
-    carry, _ = jax.lax.scan(body, carry, xs)
+    carry, ys = jax.lax.scan(body, carry, xs)
+    if store:
+        return carry, ys[0], ys[1]
     return carry
+
+
+#: int16 store-key sentinel ("record not in the mapping list")
+STORE_KEY_INF16 = _np.int16(0x7FFF)
+
+
+@functools.partial(jax.jit, static_argnames=("max_w",))
+def pack_store_words(res: BatchResult, *, max_w: int):
+    """Compact per-read outputs for the store_reads (align-task) path.
+
+    Two arrays per batch instead of eight -- on remote-dispatch runtimes
+    every fetched leaf is an RPC round trip, and the r4 store path spent
+    50x the align time fetching per-batch results (BENCH r5 measurement).
+
+      word [B] int32: mtype | downgraded << 2 | read_filtered << 3
+                      | winner << 4
+      keys [B, R]:    fw order key where the record is in the read's
+                      mapping list, sentinel elsewhere (the list = winner
+                      for unique rows, amb_mask members for ambiguous
+                      rows).  int16 when ``max_w`` (the static window
+                      count, every in-list fw value's bound) fits --
+                      any read under ~32 kbp -- halving the run's
+                      largest fetch; int32 otherwise.
+    """
+    b, r = res.amb_mask.shape
+    r_iota = jax.lax.broadcasted_iota(jnp.int32, (b, r), 1)
+    winner_onehot = r_iota == res.winner[:, None]
+    is_u = res.mtype == UNIQUELY_MAPPED
+    is_a = res.mtype == AMBIGUOUSLY_MAPPED
+    in_list = jnp.where(is_u[:, None], winner_onehot,
+                        res.amb_mask & is_a[:, None])
+    if max_w < int(STORE_KEY_INF16):
+        keys = jnp.where(in_list, res.fw_sel,
+                         jnp.int32(STORE_KEY_INF16)).astype(jnp.int16)
+    else:
+        keys = jnp.where(in_list, res.fw_sel, BIG)
+    word = (res.mtype
+            | (res.downgraded.astype(jnp.int32) << 2)
+            | (res.read_filtered.astype(jnp.int32) << 3)
+            | (res.winner << 4))
+    return word, keys
 
 
 def aggregate_batch(res: BatchResult, row_valid: jnp.ndarray) -> AggResult:

@@ -148,8 +148,9 @@ class KmerReference:
         host-built reference (tested), but has no host k-mer arrays:
         dumpref-style enumeration, string lookup, EXTSIM and .kdb save
         raise.  Returns None when the device build does not support the
-        input (k > 31 or more than 64 records) -- callers fall back to
-        the host builder."""
+        input (k > 31, more than index.device_build.R_CAP records, or
+        past the multi-set caps) -- callers fall back to the host
+        builder."""
         from shotgun_tpu.index.device_build import device_build_tables
 
         built = device_build_tables(genomes, k, cls._pad_rows)
@@ -184,6 +185,18 @@ class KmerReference:
                 sid=built["sid"], gc=built["gc"],
             )
         }
+        if built["num_kmers"] > cls.AUTO_HASH_MIN_KEYS:
+            # big tables: also assemble the single-gather hash table on
+            # device (the sort-join probe re-sorts the whole table into
+            # every batch, collapsing above ~8M keys) -- the auto probe
+            # then picks it exactly like for host-built references
+            from shotgun_tpu.index.device_build import device_hash_table
+            from shotgun_tpu.ops.probe import HashTableDev
+
+            ht = device_hash_table(built)
+            if ht is not None:
+                self._device_tables["hash16"] = HashTableDev(
+                    table=ht[0], stash=ht[1])
         return self
 
     # ------------------------------------------------------------------
@@ -464,7 +477,10 @@ class KmerReference:
             "descriptions": idx.descriptions,
             "similarity_info": idx.similarity_info,
         }
-        np.savez_compressed(
+        # uncompressed npz: the key arrays are high-entropy 2-bit packs
+        # that deflate barely touches, while compression costs seconds at
+        # realistic DB sizes on the 2-core host (np.load reads either)
+        np.savez(
             fh,
             meta=np.frombuffer(json.dumps(meta).encode("utf-8"), dtype=np.uint8),
             record_lengths=idx.record_lengths,
@@ -565,10 +581,11 @@ class KmerReference:
         method = method or os.environ.get("SHOTGUN_TPU_PROBE", "auto")
         if method == "auto":
             big = (self.index.num_kmers > self.AUTO_HASH_MIN_KEYS
-                   and self.index.k <= 31
-                   # device-built references carry no host key arrays;
-                   # they are gated to the sort path at build time
-                   and not isinstance(self.index, _DeviceIndexStub))
+                   and self.index.k <= 31)
+            if isinstance(self.index, _DeviceIndexStub):
+                # device-built references carry no host key arrays: the
+                # hash table exists iff the device hash build ran
+                big = big and "hash16" in self._device_tables
             method = "hash16" if big else "sort"
         # cache per method: rebuilding + re-uploading the table (16 B/key
         # -> tens of MB) on every align call costs ~0.5 s over the remote

@@ -249,3 +249,35 @@ def test_randomized_against_oracle(seed):
             rec, m=m, p=p, min_read_quality=mrq,
             min_kmer_quality=mkq, max_genomes=mg)
     assert aln_host.get_summary() == expected
+
+
+def test_store_superbatch_equals_per_batch_path():
+    """The superbatched align-task store path (n >= 8 batches: one
+    lax.scan dispatch per 8 sub-batches with stacked store ys) must
+    produce the identical summary, read store, and mapping lists as the
+    per-batch path."""
+    import numpy as np
+
+    from shotgun_tpu.aligner import PseudoAlignment
+    from shotgun_tpu.index.build import build_index
+    from shotgun_tpu.reference import KmerReference
+    from shotgun_tpu.utils.synth import synth_genomes, synth_reads
+
+    rng = np.random.default_rng(17)
+    genomes = synth_genomes(rng, 4, 800)
+    reads = synth_reads(rng, genomes, 200, 60)
+    ref = KmerReference(21, _index=build_index(genomes, 21))
+
+    pa_small = PseudoAlignment(ref)   # 13 batches of 16 -> superbatched
+    pa_small.align_packed_reads(reads, 1, 1, batch_size=16,
+                                store_reads=True)
+    pa_big = PseudoAlignment(ref)     # 1 batch of 256 -> per-batch path
+    pa_big.align_packed_reads(reads, 1, 1, batch_size=256,
+                              store_reads=True)
+
+    assert pa_small.get_summary() == pa_big.get_summary()
+    assert pa_small._read_ids == pa_big._read_ids
+    assert pa_small._mtypes == pa_big._mtypes
+    assert pa_small._list_counts == pa_big._list_counts
+    for a, b in zip(pa_small._list_flat, pa_big._list_flat):
+        np.testing.assert_array_equal(a, b)

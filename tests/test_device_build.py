@@ -162,3 +162,121 @@ def test_device_build_align_summary_matches_many_records():
     pa_dev.align_packed_reads(reads, 1, 1, store_reads=False)
 
     assert pa_host.get_summary() == pa_dev.get_summary()
+
+
+def test_host_prep_native_equals_numpy(monkeypatch):
+    """The native stpu_pack2 upload buffer must byte-match the numpy
+    fallback (codes pack + sparse N-run deltas + offsets)."""
+    from shotgun_tpu.index import device_build as db
+    from shotgun_tpu.io import native as nat
+
+    seqs = [
+        "ACGTNNACGTACGTNACGTACGTACGTNNNNACGT",
+        "NNNN",
+        "ACGTACGTACGTACGTACGTACGTACGTACG",
+        "TTTTNTTTT",
+    ]
+    genomes = _genomes_from_strings(seqs)
+    out_nat = db._host_prep(genomes, 11, KmerReference._pad_rows)
+    monkeypatch.setattr(nat, "pack2", lambda *a, **k: None)
+    out_np = db._host_prep(genomes, 11, KmerReference._pad_rows)
+    assert out_nat is not None and out_np is not None
+    buf_a, gp_a = out_nat
+    buf_b, gp_b = out_np
+    assert gp_a == gp_b
+    # run lists may order differently across threads; compare the delta
+    # planes they imply plus the code/offset regions byte-for-byte
+    nc = gp_a // 4
+    np.testing.assert_array_equal(buf_a[:nc], buf_b[:nc])
+    np.testing.assert_array_equal(buf_a[nc + 8 * db.NRUNS_CAP:],
+                                  buf_b[nc + 8 * db.NRUNS_CAP:])
+
+    def delta(buf):
+        rr = buf[nc: nc + 8 * db.NRUNS_CAP].view("<i4")
+        starts, ends = rr[:db.NRUNS_CAP], rr[db.NRUNS_CAP:]
+        d = np.zeros(gp_a + 1, np.int64)
+        np.add.at(d, starts, 1)
+        np.add.at(d, ends, -1)
+        return np.cumsum(d[:gp_a]) > 0
+    np.testing.assert_array_equal(delta(buf_a), delta(buf_b))
+
+
+def test_device_hash_table_probe_matches_host(monkeypatch):
+    """Device-assembled 16-slot hash table: probing it returns the same
+    (hit, sid, gc) as the host truth for present and absent keys, and
+    the auto probe of a big device-built reference selects it."""
+    import jax.numpy as jnp
+
+    from shotgun_tpu.index.device_build import device_hash_table
+    from shotgun_tpu.ops.probe import resolve_rows
+    from shotgun_tpu.ops.encode import mix32
+
+    rng = np.random.default_rng(21)
+    genomes = synth_genomes(rng, 6, 5_000)
+    k = 21
+    host = build_index(genomes, k)
+    built = device_build_tables(genomes, k, KmerReference._pad_rows)
+    assert built is not None
+    ht = device_hash_table(built)
+    assert ht is not None
+    table, stash = ht
+    nb = table.shape[0]
+
+    # queries: every distinct key + perturbed absent keys
+    qlo = host.kmer_lo.copy()
+    qhi = host.kmer_hi.copy()
+    absent_lo = qlo ^ np.uint32(0x5)
+    lo = jnp.asarray(np.concatenate([qlo, absent_lo])[None, :])
+    hi = jnp.asarray(np.concatenate([qhi, qhi])[None, :])
+    bidx = (mix32(lo, hi, jnp) & jnp.uint32(nb - 1)).astype(jnp.int32)
+    rows = jnp.take(table, bidx, axis=0)
+    hit, sid, gc, _pos = resolve_rows(rows, bidx, stash, lo, hi)
+    hit = np.asarray(hit)[0]
+    sid = np.asarray(sid)[0]
+    gc = np.asarray(gc)[0]
+    u = qlo.size
+
+    assert hit[:u].all()
+    np.testing.assert_array_equal(gc[:u], host.genome_counts())
+    # sid numbering differs from the host's; compare via the member masks
+    dev_masks = built["set_masks"]
+    host_masks = np.zeros((host.num_sets, dev_masks.shape[1]), np.uint8)
+    host_masks[:, : host.set_masks.shape[1]] = host.set_masks
+    np.testing.assert_array_equal(
+        dev_masks[sid[:u]], host_masks[host.set_id])
+    # absent keys miss unless the perturbation collided with a real key
+    present = set(zip(qlo.tolist(), qhi.tolist()))
+    expect_absent = np.array(
+        [(l, h) not in present
+         for l, h in zip(absent_lo.tolist(), qhi.tolist())])
+    assert not (hit[u:] & expect_absent).any()
+
+    # auto selection: a device-built ref above the (patched) threshold
+    # carries and picks the hash16 table
+    monkeypatch.setattr(KmerReference, "AUTO_HASH_MIN_KEYS", 1000)
+    ref = KmerReference.from_device_build(genomes, k)
+    assert "hash16" in ref._device_tables
+    from shotgun_tpu.ops.probe import HashTableDev
+
+    assert isinstance(ref.device_probe_tables("auto"), HashTableDev)
+
+
+def test_device_hash_aligns_like_host(monkeypatch):
+    """End-to-end: dumpalign summary via the device hash table equals the
+    host-built reference's."""
+    from shotgun_tpu.aligner import PseudoAlignment
+
+    monkeypatch.setattr(KmerReference, "AUTO_HASH_MIN_KEYS", 500)
+    rng = np.random.default_rng(22)
+    genomes = synth_genomes(rng, 4, 2_000)
+    reads = synth_reads(rng, genomes, 256, 80)
+
+    ref_host = KmerReference(21, _index=build_index(genomes, 21))
+    pa_host = PseudoAlignment(ref_host)
+    pa_host.align_packed_reads(reads, 1, 1, store_reads=False)
+
+    ref_dev = KmerReference.from_device_build(genomes, 21)
+    assert "hash16" in ref_dev._device_tables
+    pa_dev = PseudoAlignment(ref_dev)
+    pa_dev.align_packed_reads(reads, 1, 1, store_reads=False)
+    assert pa_host.get_summary() == pa_dev.get_summary()
