@@ -185,18 +185,11 @@ class KmerReference:
                 sid=built["sid"], gc=built["gc"],
             )
         }
-        if built["num_kmers"] > cls.AUTO_HASH_MIN_KEYS:
-            # big tables: also assemble the single-gather hash table on
-            # device (the sort-join probe re-sorts the whole table into
-            # every batch, collapsing above ~8M keys) -- the auto probe
-            # then picks it exactly like for host-built references
-            from shotgun_tpu.index.device_build import device_hash_table
-            from shotgun_tpu.ops.probe import HashTableDev
-
-            ht = device_hash_table(built)
-            if ht is not None:
-                self._device_tables["hash16"] = HashTableDev(
-                    table=ht[0], stash=ht[1])
+        # keep the device build products for the lazy hash-table assembly
+        # (device_probe_tables builds it on first use above the auto
+        # threshold; building eagerly would charge align-side work to
+        # every build, including builds that never align)
+        self._built_dev = built
         return self
 
     # ------------------------------------------------------------------
@@ -582,10 +575,24 @@ class KmerReference:
         if method == "auto":
             big = (self.index.num_kmers > self.AUTO_HASH_MIN_KEYS
                    and self.index.k <= 31)
-            if isinstance(self.index, _DeviceIndexStub):
-                # device-built references carry no host key arrays: the
-                # hash table exists iff the device hash build ran
-                big = big and "hash16" in self._device_tables
+            if big and isinstance(self.index, _DeviceIndexStub):
+                # device-built references carry no host key arrays; the
+                # 16-slot hash table assembles ON DEVICE from the build
+                # products, lazily on first use (the sort-join probe
+                # re-sorts the whole table into every batch and collapses
+                # above ~8M keys, so the one-time hash assembly pays for
+                # itself within one big align batch)
+                if "hash16" not in self._device_tables:
+                    from shotgun_tpu.index.device_build import (
+                        device_hash_table,
+                    )
+                    from shotgun_tpu.ops.probe import HashTableDev
+
+                    ht = device_hash_table(self._built_dev)
+                    if ht is not None:
+                        self._device_tables["hash16"] = HashTableDev(
+                            table=ht[0], stash=ht[1])
+                big = "hash16" in self._device_tables
             method = "hash16" if big else "sort"
         # cache per method: rebuilding + re-uploading the table (16 B/key
         # -> tens of MB) on every align call costs ~0.5 s over the remote

@@ -252,13 +252,14 @@ def test_device_hash_table_probe_matches_host(monkeypatch):
     assert not (hit[u:] & expect_absent).any()
 
     # auto selection: a device-built ref above the (patched) threshold
-    # carries and picks the hash16 table
+    # assembles and picks the hash16 table lazily on first use
     monkeypatch.setattr(KmerReference, "AUTO_HASH_MIN_KEYS", 1000)
     ref = KmerReference.from_device_build(genomes, k)
-    assert "hash16" in ref._device_tables
+    assert "hash16" not in ref._device_tables  # lazy until first probe
     from shotgun_tpu.ops.probe import HashTableDev
 
     assert isinstance(ref.device_probe_tables("auto"), HashTableDev)
+    assert "hash16" in ref._device_tables
 
 
 def test_device_hash_aligns_like_host(monkeypatch):
@@ -276,7 +277,9 @@ def test_device_hash_aligns_like_host(monkeypatch):
     pa_host.align_packed_reads(reads, 1, 1, store_reads=False)
 
     ref_dev = KmerReference.from_device_build(genomes, 21)
-    assert "hash16" in ref_dev._device_tables
+    from shotgun_tpu.ops.probe import HashTableDev
+
+    assert isinstance(ref_dev.device_probe_tables("auto"), HashTableDev)
     pa_dev = PseudoAlignment(ref_dev)
     pa_dev.align_packed_reads(reads, 1, 1, store_reads=False)
     assert pa_host.get_summary() == pa_dev.get_summary()
