@@ -206,6 +206,12 @@ def main():
         t0 = time.perf_counter()
         container = FASTAQFile(fq_path).container
         parse_s = time.perf_counter() - t0
+        # warm-up pass: the superbatched store program compiles/loads
+        # here; the timed pass is the steady state (as everywhere else)
+        warm_al = PseudoAlignment(ref)
+        warm_al.align_reads_from_container(
+            container, 1, 1, batch_size=BATCH, store_reads=True)
+        del warm_al
         t0 = time.perf_counter()
         alignment = PseudoAlignment(ref)
         alignment.align_reads_from_container(
