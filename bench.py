@@ -580,21 +580,20 @@ def _warm_compile_probe():
         cmd = [sys.executable, os.path.join(repo, "main.py"),
                "-t", "dumpalign", "-g", fa, "-k", str(K), "--reads", fq]
         outs = []
-        for label in ("cold", "warm"):
+
+        def one_run(label):
             t0 = time.perf_counter()
             try:
                 out = subprocess.run(cmd, capture_output=True, text=True,
                                      timeout=560, env=env)
             except subprocess.TimeoutExpired:
-                result[f"{label}_s"] = None
                 result["error"] = f"{label} run timed out"
-                return result
+                return None
             dt = time.perf_counter() - t0
-            result[f"{label}_s"] = round(dt, 2)
             if out.returncode != 0:
                 result["error"] = (f"{label} rc={out.returncode}: "
                                    f"{(out.stderr or '')[-300:]}")
-                return result
+                return None
             outs.append(out.stdout)
             stats = {}
             for line in (out.stderr or "").splitlines():
@@ -613,7 +612,31 @@ def _warm_compile_probe():
                 f"(compiles={stats.get('backend_compiles')}, "
                 f"cache_hits={stats.get('cache_hits')}, "
                 f"compile_secs={stats.get('backend_compile_secs')})")
-        result["output_identical"] = outs[0] == outs[1]
+            return round(dt, 2)
+
+        cold = one_run("cold")
+        if cold is None:
+            return result
+        result["cold_s"] = cold
+        # warm runs: up to 3 -- with a populated cache the compile counts
+        # prove zero XLA work, but the axon service's FIRST executable
+        # load after a compile can stall on its load RPC for tens of
+        # seconds until the server-side cache warms (README "Compile
+        # behavior"); warm_s is the min with every run recorded raw
+        warm_runs = []
+        for i in range(3):
+            dt = one_run("warm" if i == 0 else f"warm{i + 1}")
+            if dt is None:
+                break
+            warm_runs.append(dt)
+            if dt <= 15:
+                break
+        if not warm_runs:
+            return result
+        result["warm_runs_s"] = warm_runs
+        result["warm_first_s"] = warm_runs[0]
+        result["warm_s"] = min(warm_runs)
+        result["output_identical"] = all(o == outs[0] for o in outs[1:])
     return result
 
 

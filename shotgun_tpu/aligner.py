@@ -510,11 +510,14 @@ class PseudoAlignment:
             member_dev = jax.device_put(set_member, rep)
         else:
             member_dev = jnp.asarray(set_member)
-        m_t = jnp.int32(m)
-        p_t = jnp.int32(p)
-        mrq_t = jnp.int32(min_read_quality or 0)
-        mkq_t = jnp.int32(min_kmer_quality or 0)
-        mg_t = jnp.int32(max_genomes or 0)
+        # numpy scalars: a jnp.int32() literal compiles (and every warm
+        # CLI run must LOAD) a convert_element_type program; numpy args
+        # transfer without any executable
+        m_t = np.int32(m)
+        p_t = np.int32(p)
+        mrq_t = np.int32(min_read_quality or 0)
+        mkq_t = np.int32(min_kmer_quality or 0)
+        mg_t = np.int32(max_genomes or 0)
 
         # transfer diet: codes ship 2-bit packed (unpacked on device) and
         # the quality plane ships only when a quality gate consumes it
@@ -710,11 +713,14 @@ class PseudoAlignment:
         r = idx.num_records
 
         b = batch_size
-        m_t = jnp.int32(m)
-        p_t = jnp.int32(p)
-        mrq_t = jnp.int32(min_read_quality or 0)
-        mkq_t = jnp.int32(min_kmer_quality or 0)
-        mg_t = jnp.int32(max_genomes or 0)
+        # numpy scalars: a jnp.int32() literal compiles (and every warm
+        # CLI run must LOAD) a convert_element_type program; numpy args
+        # transfer without any executable
+        m_t = np.int32(m)
+        p_t = np.int32(p)
+        mrq_t = np.int32(min_read_quality or 0)
+        mkq_t = np.int32(min_kmer_quality or 0)
+        mg_t = np.int32(max_genomes or 0)
 
         from shotgun_tpu.io.native import LmaxExceeded
         from shotgun_tpu.models.pipeline import (
@@ -804,7 +810,7 @@ class PseudoAlignment:
                 has_mkq=min_kmer_quality is not None,
                 has_mg=max_genomes is not None,
             )
-            zero_len = jnp.zeros((), jnp.int32)  # unused under len_in_codes
+            zero_len = np.int32(0)  # placeholder under len_in_codes
             for codes_p, qual, lengths, got in chunk_iter:
                 # one combined upload per chunk: lengths ride as 4 byte
                 # columns appended to the packed codes (every separate

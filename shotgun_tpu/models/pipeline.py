@@ -444,13 +444,18 @@ FOLD_INF = _np.int32(0x7FFFFFFF)
 
 
 def init_fold_carry(rp: int, start_batch: int = 0) -> FoldCarry:
+    """Initial carry as NUMPY leaves: the first fold call transfers them
+    like any other argument.  Building them with jnp.zeros/jnp.full
+    would compile (and on every warm CLI run LOAD) four trivial XLA
+    programs -- on the tunneled runtime each program load is an RPC that
+    can stall, so the warm path runs exactly one executable."""
     return FoldCarry(
-        counters=jnp.zeros(6, dtype=jnp.int32),
-        unique_by_rec=jnp.zeros(rp, dtype=jnp.int32),
-        amb_by_rec=jnp.zeros(rp, dtype=jnp.int32),
-        first_batch=jnp.full(rp, FOLD_INF, dtype=jnp.int32),
-        first_key=jnp.full(rp, FOLD_INF, dtype=jnp.int32),
-        batch_no=jnp.int32(start_batch),
+        counters=_np.zeros(6, dtype=_np.int32),
+        unique_by_rec=_np.zeros(rp, dtype=_np.int32),
+        amb_by_rec=_np.zeros(rp, dtype=_np.int32),
+        first_batch=_np.full(rp, FOLD_INF, dtype=_np.int32),
+        first_key=_np.full(rp, FOLD_INF, dtype=_np.int32),
+        batch_no=_np.int32(start_batch),
     )
 
 
