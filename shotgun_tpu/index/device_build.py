@@ -429,23 +429,35 @@ def _hash_table_from_rows(klo, khi, sid, gc, *, nb: int):
     rank = iota - start
     real = bs < jnp.int32(nb)
     placed = real & (rank < HASH_SLOTS)
-    vals = jnp.stack([klo2, khi2, sid2.astype(jnp.uint32),
-                      gc2.astype(jnp.uint32)], axis=-1)
-    table = jnp.zeros((nb, HASH_SLOTS, 4), jnp.uint32)
-    table = table.at[..., 2].set(jnp.uint32(_ONES))  # sid EMPTY marker
+    cols = (klo2, khi2, sid2.astype(jnp.uint32), gc2.astype(jnp.uint32))
+    # scatter each column separately into a FLAT 1-D table: a stacked
+    # [n, 4] value array would be lane-padded 4 -> 128 on TPU (32x the
+    # memory -- a 100M-key build tried to allocate 51 GB of it)
+    # init: every slot's sid word carries the EMPTY marker -- built by
+    # broadcasting a 4-word pattern (an iota-indexed scatter here cost a
+    # 2 GB index plane + an extra 8 GB copy at 100M keys)
+    pat = jnp.asarray([0, 0, int(_ONES), 0], jnp.uint32)
+    tflat = jnp.broadcast_to(
+        pat[None, :], (nb * HASH_SLOTS, 4)).reshape(-1)
     tb = jnp.where(placed, bs, jnp.int32(nb))  # nb -> dropped
     ts = jnp.where(placed, rank, jnp.int32(0))
-    table = table.at[tb, ts].set(vals, mode="drop")
+    base = (tb * jnp.int32(HASH_SLOTS) + ts) * jnp.int32(4)
+    for c, col in enumerate(cols):
+        tflat = tflat.at[base + jnp.int32(c)].set(col, mode="drop")
+    table = tflat.reshape(nb, HASH_SLOTS, 4)
     # stash: overflow keys by global ordinal (collisions past the cap
     # clip onto the last row, but then n_stash > STASH_PAD and the
     # caller rebuilds wider anyway)
     over = real & (rank >= HASH_SLOTS)
     n_stash = jnp.sum(over.astype(jnp.int32))
     ordn = jnp.cumsum(over.astype(jnp.int32)) - 1
-    stash = jnp.full((STASH_PAD, 4), _ONES, jnp.uint32)
+    sflat = jnp.full(STASH_PAD * 4, _ONES, jnp.uint32)
     srow = jnp.where(over, jnp.minimum(ordn, STASH_PAD - 1),
                      jnp.int32(STASH_PAD))
-    stash = stash.at[srow].set(vals, mode="drop")
+    sbase = srow * jnp.int32(4)
+    for c, col in enumerate(cols):
+        sflat = sflat.at[sbase + jnp.int32(c)].set(col, mode="drop")
+    stash = sflat.reshape(STASH_PAD, 4)
     return table, stash, n_stash
 
 
@@ -455,10 +467,22 @@ def device_hash_table(built: dict):
     cannot be satisfied (pathological key sets)."""
     u = built["num_kmers"]
     nb = 1 << max(int(max(u / HASH_LAMBDA, 1)) - 1, 1).bit_length()
-    for _ in range(3):
-        table, stash, n_stash_d = _hash_table_from_rows(
-            built["klo"], built["khi"], built["sid"], built["gc"], nb=nb)
-        if int(jax.device_get(n_stash_d)) <= STASH_PAD:
-            return table, stash
-        nb *= 2
+    try:
+        for _ in range(3):
+            table, stash, n_stash_d = _hash_table_from_rows(
+                built["klo"], built["khi"], built["sid"], built["gc"],
+                nb=nb)
+            if int(jax.device_get(n_stash_d)) <= STASH_PAD:
+                return table, stash
+            nb *= 2
+    except Exception as exc:
+        # HBM exhaustion at extreme table sizes (or a compile failure):
+        # the sorted table still serves -- callers keep the sort probe
+        import os as _os
+        import sys as _sys
+
+        if _os.environ.get("SHOTGUN_TPU_DEBUG") == "1":
+            print(f"device_hash_table fallback: {exc!r}"[:500],
+                  file=_sys.stderr)
+        return None
     return None

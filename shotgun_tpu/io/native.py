@@ -194,11 +194,11 @@ def fastq_parse(data: bytes):
         _ptr(id_offsets, ctypes.c_int64), _ptr(id_buf, ctypes.c_uint8),
         _ptr(space_len, ctypes.c_int32),
     )
-    blob = id_buf.tobytes()
-    ids = [
-        blob[id_offsets[i]: id_offsets[i + 1]].decode("ascii")
-        for i in range(n_rec)
-    ]
+    # one decode pass + string slicing: a per-record bytes-slice+decode
+    # costs ~2x (ids are ~40% of the 512k-read parse time)
+    blob = id_buf.tobytes().decode("ascii")
+    offs = id_offsets.tolist()
+    ids = [blob[offs[i]: offs[i + 1]] for i in range(n_rec)]
     return codes, qual, lengths, ids, space_len
 
 
