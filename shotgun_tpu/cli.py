@@ -313,9 +313,10 @@ def build_reference_align_and_dump(
         # and skipping the device build keeps a whole XLA program out of
         # the CLI run (cold compile AND warm executable-load RPCs both
         # drop -- the r4 warm-start regression was exactly this program);
-        # above MAX the host-build + hash-probe pairing aligns faster
-        # than the sorted table the device build emits (the join re-sorts
-        # the table into every batch)
+        # above MAX the device hash table (which the auto probe assembles
+        # for >8M-key device-built DBs) no longer fits the HBM budget,
+        # so aligns would fall back to the per-batch table re-sort --
+        # the host build + host hash table serves that regime
         lo_gate = int(os.environ.get(
             "SHOTGUN_TPU_DEVICE_BUILD_MIN", 4_000_000))
         hi_gate = int(os.environ.get(

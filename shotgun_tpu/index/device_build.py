@@ -50,6 +50,7 @@ against the host index (tests/test_device_build.py).
 from __future__ import annotations
 
 import functools
+import os
 import time
 from typing import Optional
 
@@ -435,29 +436,29 @@ def _hash_table_from_rows(klo, khi, sid, gc, *, nb: int):
     # memory -- a 100M-key build tried to allocate 51 GB of it)
     # init: every slot's sid word carries the EMPTY marker -- built by
     # broadcasting a 4-word pattern (an iota-indexed scatter here cost a
-    # 2 GB index plane + an extra 8 GB copy at 100M keys)
+    # 2 GB index plane + an extra 8 GB copy at 100M keys).  Columns
+    # scatter one at a time with 3-D (bucket, slot, word) indices: a
+    # stacked [n, 4] value array lane-pads 4 -> 128 (32x memory), and a
+    # flattened index space overflows int32 past 2^31 table words.
     pat = jnp.asarray([0, 0, int(_ONES), 0], jnp.uint32)
-    tflat = jnp.broadcast_to(
-        pat[None, :], (nb * HASH_SLOTS, 4)).reshape(-1)
+    table = jnp.broadcast_to(
+        pat[None, None, :], (nb, HASH_SLOTS, 4)).reshape(
+            nb, HASH_SLOTS, 4)
     tb = jnp.where(placed, bs, jnp.int32(nb))  # nb -> dropped
     ts = jnp.where(placed, rank, jnp.int32(0))
-    base = (tb * jnp.int32(HASH_SLOTS) + ts) * jnp.int32(4)
     for c, col in enumerate(cols):
-        tflat = tflat.at[base + jnp.int32(c)].set(col, mode="drop")
-    table = tflat.reshape(nb, HASH_SLOTS, 4)
+        table = table.at[tb, ts, c].set(col, mode="drop")
     # stash: overflow keys by global ordinal (collisions past the cap
     # clip onto the last row, but then n_stash > STASH_PAD and the
     # caller rebuilds wider anyway)
     over = real & (rank >= HASH_SLOTS)
     n_stash = jnp.sum(over.astype(jnp.int32))
     ordn = jnp.cumsum(over.astype(jnp.int32)) - 1
-    sflat = jnp.full(STASH_PAD * 4, _ONES, jnp.uint32)
+    stash = jnp.full((STASH_PAD, 4), _ONES, jnp.uint32)
     srow = jnp.where(over, jnp.minimum(ordn, STASH_PAD - 1),
                      jnp.int32(STASH_PAD))
-    sbase = srow * jnp.int32(4)
     for c, col in enumerate(cols):
-        sflat = sflat.at[sbase + jnp.int32(c)].set(col, mode="drop")
-    stash = sflat.reshape(STASH_PAD, 4)
+        stash = stash.at[srow, c].set(col, mode="drop")
     return table, stash, n_stash
 
 
@@ -467,6 +468,15 @@ def device_hash_table(built: dict):
     cannot be satisfied (pathological key sets)."""
     u = built["num_kmers"]
     nb = 1 << max(int(max(u / HASH_LAMBDA, 1)) - 1, 1).bit_length()
+    # HBM pre-check: attempting an oversized table raises a
+    # ResourceExhausted that can poison subsequent dispatches in this
+    # process, so don't try -- the ~16 GB v5e budget leaves ~10 GB for
+    # the table + scatter workspace next to the sorted build products
+    n = int(built["klo"].shape[0])
+    budget = int(os.environ.get("SHOTGUN_TPU_HASH_HBM_BUDGET",
+                                10_000_000_000))
+    if nb * HASH_SLOTS * 16 + 8 * n * 4 > budget:
+        return None
     try:
         for _ in range(3):
             table, stash, n_stash_d = _hash_table_from_rows(
