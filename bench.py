@@ -538,10 +538,6 @@ def _devbuild_main():
         out["db_build_device_bulk_mbp_per_sec"] = round(bulk_mbp / dt, 2)
         log(f"device build {bulk_mbp} Mbp (warm): {dt:.3f}s "
             f"({bulk_mbp / dt:.1f} Mbp/s, {dref.index.num_kmers} kmers)")
-        del dref
-        # many-records point: same total bases split over 1024 records
-        # (the r4 build capped R at 64; VERDICT r4 next #2 asks for
-        # R >= 1024 at speed).  Same gp bucket -> executable reused.
         # lazy device hash-table assembly at this scale (the auto probe
         # picks it above 8M keys; one-time cost, then aligns run at
         # hash speed instead of the per-batch table re-sort)
@@ -558,6 +554,9 @@ def _devbuild_main():
         except Exception as exc:
             out["db_build_device_hash_assembly_error"] = repr(exc)[:200]
         del dref
+        # many-records point: same total bases split over 1024 records
+        # (the r4 build capped R at 64; VERDICT r4 next #2 asks for
+        # R >= 1024 at speed).  Same gp bucket -> executable reused.
         bulk_r = synth_genomes(rng, 1024, bulk_mbp * 1_000_000 // 1024)
         dt, dref = timed_build(bulk_r)
         out["db_build_device_r1024_mbp_per_sec"] = round(bulk_mbp / dt, 2)

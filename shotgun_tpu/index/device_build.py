@@ -335,9 +335,9 @@ def device_build_tables(genomes, k: int, pad_rows) -> Optional[dict]:
     ``genomes``: io.packing.GenomeArrays; ``pad_rows``: the shape-bucket
     function (reference.KmerReference._pad_rows).  Returns a dict with
     device arrays {klo, khi, sid, gc} (table length == the gp shape
-    bucket), host ``set_masks`` (uint8 [num_sets, ceil(R/8)] where rows
-    [0, R) are the singleton sets and rows >= R_CAP' remap to R + j),
-    ``sid_base_multi`` = R_CAP, and ints num_kmers/num_sets -- or None
+    bucket), host ``set_masks`` (uint8 [num_sets, ceil(R/8)]: rows
+    [0, R) are the singleton sets {r}, rows [R, R + n_multi) the multi
+    sets), and ints num_kmers/num_sets -- or None
     when unsupported (k > 31, R > R_CAP, genomes shorter than k, more
     than SMAX multi sets, more than PMAX multi pairs, or a detected hash
     collision -- callers fall back to the bit-identical host builder).
@@ -387,7 +387,7 @@ def device_build_tables(genomes, k: int, pad_rows) -> Optional[dict]:
     return dict(
         klo=klo, khi=khi, sid=sid, gc=gc,
         num_kmers=u, num_sets=num_sets, set_masks=set_masks,
-        sid_base_multi=R_CAP, num_records=r, prep_s=prep_s,
+        num_records=r, prep_s=prep_s,
     )
 
 
