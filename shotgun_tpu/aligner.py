@@ -1079,14 +1079,13 @@ class PseudoAlignment:
                 out = cls(ref)
                 ids_blob = bytes(data["read_ids"]).decode("utf-8")
                 out._read_ids = ids_blob.split("\n") if ids_blob else []
-                out._mtypes = [int(x) for x in data["mtypes"]]
+                out._mtypes = data["mtypes"].tolist()
                 offsets = data["list_offsets"]
                 flat = data["list_flat"]
-                out._list_flat = [
-                    flat[offsets[i]: offsets[i + 1]]
-                    for i in range(len(offsets) - 1)
-                ]
-                out._list_counts = [int(x) for x in np.diff(offsets)]
+                # np.split hands back per-read views with one C pass
+                out._list_flat = (np.split(flat, offsets[1:-1])
+                                  if len(offsets) > 1 else [])
+                out._list_counts = np.diff(offsets).tolist()
                 out._seen_ids = set(out._read_ids)
                 out._unique_by_rec = data["unique_by_rec"]
                 out._amb_by_rec = data["amb_by_rec"]

@@ -46,7 +46,7 @@ from shotgun_tpu.io.data_file import (
     open_fastq_stream,
 )
 from shotgun_tpu.reference import KDBFormatError, KmerReference
-from shotgun_tpu.utils.profiling import PROFILER, maybe_trace, phase
+from shotgun_tpu.utils.profiling import PROFILER, phase
 
 DEFAULT_BATCH_SIZE = 2048
 

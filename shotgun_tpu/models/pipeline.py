@@ -46,7 +46,6 @@ from shotgun_tpu.utils.platform import configure_platform
 configure_platform()
 
 from shotgun_tpu.ops.encode import (
-    pack_codes_2bit,
     rolling_encode_jnp,
     rolling_encode_words_jnp,
     unpack_codes_2bit,
