@@ -738,9 +738,8 @@ class PseudoAlignment:
         dummy_qual_dev = None if use_qual else jnp.asarray(dummy_qual)
         # both probe families stream through the fused one-dispatch fold:
         # the hash gather stays a standalone kernel inside the fused
-        # program via optimization_barrier fences (ops/probe.py)
-        fused = True
-        # superbatching (fused path only): fill S sub-batches contiguously
+        # program via optimization_barrier fences (ops/probe.py).
+        # Superbatching: fill S sub-batches contiguously
         # and ship them as ONE [S, b, ...] transfer + ONE lax.scan dispatch
         # -- divides the per-batch RPC count by S on remote-dispatch
         # runtimes while the on-device batch shape stays b.  S=1 disables.
@@ -753,7 +752,7 @@ class PseudoAlignment:
         except ValueError:
             sb_env = 8  # malformed env value: fall back (ADVICE.md r3 #5)
         sb = max(sb_env, 1) \
-            if fused and hasattr(stream, "chunks_packed") else 1
+            if hasattr(stream, "chunks_packed") else 1
         if sb > 1 and hasattr(stream, "est_records"):
             # small inputs: don't pad (and compile) an S-wide scan the
             # file can't fill -- cap S at the estimated chunk count
@@ -811,6 +810,12 @@ class PseudoAlignment:
                 has_mg=max_genomes is not None,
             )
             zero_len = np.int32(0)  # placeholder under len_in_codes
+            # NOTE: the combine + device transfer stays on THIS thread.
+            # Moving it onto a second prefetch stage (upload of chunk
+            # i+1 overlapping dispatch of chunk i) measured 2x SLOWER
+            # end-to-end on the tunneled runtime (629k -> 314k reads/s,
+            # same session A/B): cross-thread device_put serializes
+            # against the dispatch fastpath there.
             for codes_p, qual, lengths, got in chunk_iter:
                 # one combined upload per chunk: lengths ride as 4 byte
                 # columns appended to the packed codes (every separate
@@ -830,29 +835,14 @@ class PseudoAlignment:
                     )
                     n_batches += sb
                     continue
-                qual_dev = (jnp.asarray(qual) if use_qual
-                            else dummy_qual_dev)
-                if fused:
-                    carry = align_fold_batch(
-                        carry, probe_tab, member_dev,
-                        jnp.asarray(combined), qual_dev,
-                        zero_len,
-                        m_t, p_t, mrq_t, mkq_t, mg_t,
-                        k=k, packed=True, len_in_codes=True, **has,
-                    )
-                else:
-                    row_valid = np.zeros(b, dtype=bool)
-                    row_valid[:got] = True
-                    _res, agg = align_batch(
-                        probe_tab, member_dev,
-                        jnp.asarray(codes_p), qual_dev,
-                        jnp.asarray(lengths),
-                        jnp.asarray(row_valid),
-                        m_t, p_t, mrq_t, mkq_t, mg_t,
-                        k=k, packed=True, **has,
-                    )
-                    del _res  # per-read buffers free after execution
-                    carry = fold_agg_device(carry, agg)
+                carry = align_fold_batch(
+                    carry, probe_tab, member_dev,
+                    jnp.asarray(combined),
+                    jnp.asarray(qual) if use_qual else dummy_qual_dev,
+                    zero_len,
+                    m_t, p_t, mrq_t, mkq_t, mg_t,
+                    k=k, packed=True, len_in_codes=True, **has,
+                )
                 n_batches += 1
             return carry, n_batches
 
