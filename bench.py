@@ -200,22 +200,19 @@ def main():
     # (VERDICT r4 next #4).  Warm pass timed (executables already built).
     align_task = {}
     try:
-        from shotgun_tpu.io.data_file import FASTAQFile
-
         aln_path = os.path.join(fq_dir, "bench.aln")
-        t0 = time.perf_counter()
-        container = FASTAQFile(fq_path).container
-        parse_s = time.perf_counter() - t0
         # warm-up pass: the superbatched store program compiles/loads
         # here; the timed pass is the steady state (as everywhere else)
         warm_al = PseudoAlignment(ref)
-        warm_al.align_reads_from_container(
-            container, 1, 1, batch_size=BATCH, store_reads=True)
+        warm_al.align_stream(open_fastq_stream(fq_path, lazy=True), 1, 1,
+                             batch_size=BATCH, store_reads=True)
         del warm_al
+        # timed: the CLI -t align route (stream fill + packed store
+        # words + native id side pass) then .aln save, then -a load
         t0 = time.perf_counter()
         alignment = PseudoAlignment(ref)
-        alignment.align_reads_from_container(
-            container, 1, 1, batch_size=BATCH, store_reads=True)
+        alignment.align_stream(open_fastq_stream(fq_path, lazy=True),
+                               1, 1, batch_size=BATCH, store_reads=True)
         align_s = time.perf_counter() - t0
         t0 = time.perf_counter()
         alignment.save(aln_path)
@@ -225,21 +222,20 @@ def main():
         summary2 = loaded.get_summary()
         dump_s = time.perf_counter() - t0
         assert summary2 == summary, "align-task summary != stream summary"
-        task_s = parse_s + align_s + save_s
+        task_s = align_s + save_s
         align_task = {
             "align_task_reads_per_sec": round(N_READS / task_s, 1),
             "align_task_s": round(task_s, 2),
-            "align_task_parse_s": round(parse_s, 2),
             "align_task_align_s": round(align_s, 2),
             "align_task_save_s": round(save_s, 2),
             "dumpalign_a_s": round(dump_s, 2),
             "align_task_vs_stream": round(task_s / e2e_s, 2),
         }
-        log(f"align task: parse {parse_s:.2f}s + align {align_s:.2f}s + "
+        log(f"align task (stream-store): align {align_s:.2f}s + "
             f"save {save_s:.2f}s = {task_s:.2f}s "
             f"({N_READS / task_s:,.0f} reads/s, "
             f"{task_s / e2e_s:.2f}x stream); dumpalign -a {dump_s:.2f}s")
-        del container, alignment, loaded
+        del alignment, loaded
     except Exception as exc:
         align_task = {"error": repr(exc)}
         log(f"align task bench failed: {exc!r}")

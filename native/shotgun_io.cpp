@@ -794,3 +794,33 @@ extern "C" int stpu_fasta_fill(const uint8_t* d, int64_t n, uint8_t* codes,
   }
   return OK;
 }
+
+// ---------------------------------------------------------------------------
+// Id-span extraction for the streamed align-task path: on a
+// SCAN-VALIDATED input, walk the 4-line groups and emit each record's
+// stripped identifier bytes.  The caller sizes id_offsets to the known
+// record count + 1 and id_buf conservatively (total id bytes < n).
+// Returns the record count walked (== the scan's n_records on valid
+// input), or -1 if more than max_records groups appear.
+// ---------------------------------------------------------------------------
+extern "C" int64_t stpu_fastq_ids(const uint8_t* d, int64_t n,
+                                  int64_t max_records, int64_t* id_offsets,
+                                  uint8_t* id_buf) {
+  int64_t pos = 0, s, e, rec = 0, idp = 0;
+  id_offsets[0] = 0;
+  while (next_line(d, n, &pos, &s, &e)) {
+    if (e <= s || d[s] != '@') continue;  // leading blanks on valid input
+    if (rec >= max_records) return -1;
+    int64_t is = s + 1, ie = e;
+    strip_span(d, &is, &ie);
+    std::memcpy(id_buf + idp, d + is, (size_t)(ie - is));
+    idp += ie - is;
+    ++rec;
+    id_offsets[rec] = idp;
+    int64_t s2, e2;  // consume seq, '+', quality lines of the group
+    next_line(d, n, &pos, &s2, &e2);
+    next_line(d, n, &pos, &s2, &e2);
+    next_line(d, n, &pos, &s2, &e2);
+  }
+  return rec;
+}

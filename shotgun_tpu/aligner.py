@@ -679,6 +679,7 @@ class PseudoAlignment:
         min_kmer_quality: Optional[int] = None,
         max_genomes: Optional[int] = None,
         batch_size: int = 1024,
+        store_reads: bool = False,
     ) -> None:
         """Pipeline-parallel alignment from a ``FASTAQStream``.
 
@@ -686,9 +687,14 @@ class PseudoAlignment:
         is filled by the native scanner directly into device-shaped
         [batch, lpad] arrays while the accelerator runs the previous
         chunk's (async-dispatched) align program.  Only O(R) aggregation
-        ships back per batch; per-read results are not stored
-        (dumpalign semantics, store_reads=False).
-        """
+        ships back per batch (dumpalign semantics by default).
+
+        ``store_reads=True`` (the -t align task): per-read results ride
+        the same stream as packed store words (models.pipeline
+        pack_store_words), ids extract in one native side pass after the
+        validation completes, and the read store fills vectorized -- the
+        align task gets the stream path's fill/dispatch overlap instead
+        of the full string parse."""
         import jax
         import jax.numpy as jnp
 
@@ -726,6 +732,7 @@ class PseudoAlignment:
         from shotgun_tpu.models.pipeline import (
             align_fold_batch,
             align_fold_superbatch,
+            fold_agg_device,
             init_fold_carry,
         )
         from shotgun_tpu.ops.encode import pack_codes_2bit
@@ -786,6 +793,7 @@ class PseudoAlignment:
             carry = init_fold_carry(int(member_dev.shape[1]),
                                     start_batch=self._batch_no)
             n_batches = 0
+            packs, gots = [], []
             if hasattr(stream, "chunks_packed"):
                 # native packed fill: the host never materializes the
                 # 1-byte code plane, and qual fills only when a gate
@@ -824,27 +832,56 @@ class PseudoAlignment:
                     [codes_p, lengths.astype("<i4").view(np.uint8)
                      .reshape(codes_p.shape[0], 4)], axis=1)
                 if sb > 1:
-                    carry = align_fold_superbatch(
+                    out = align_fold_superbatch(
                         carry, probe_tab, member_dev,
                         jnp.asarray(combined.reshape(sb, b, -1)),
                         (jnp.asarray(qual.reshape(sb, b, -1))
                          if use_qual else dummy_qual_dev),
                         zero_len,
                         m_t, p_t, mrq_t, mkq_t, mg_t,
-                        k=k, packed=True, len_in_codes=True, **has,
+                        k=k, packed=True, len_in_codes=True,
+                        store=store_reads, **has,
                     )
+                    if store_reads:
+                        carry, words, keys = out
+                        packs.append((words.reshape(sb * b),
+                                      keys.reshape(sb * b, -1)))
+                        gots.append(got)
+                    else:
+                        carry = out
                     n_batches += sb
                     continue
-                carry = align_fold_batch(
-                    carry, probe_tab, member_dev,
-                    jnp.asarray(combined),
-                    jnp.asarray(qual) if use_qual else dummy_qual_dev,
-                    zero_len,
-                    m_t, p_t, mrq_t, mkq_t, mg_t,
-                    k=k, packed=True, len_in_codes=True, **has,
-                )
+                if store_reads:
+                    # small inputs: per-chunk two-program form with the
+                    # packed store outputs collected like the superbatch
+                    from shotgun_tpu.models.pipeline import (
+                        pack_store_words,
+                    )
+
+                    res, agg = align_batch(
+                        probe_tab, member_dev,
+                        jnp.asarray(codes_p),
+                        jnp.asarray(qual) if use_qual else dummy_qual_dev,
+                        jnp.asarray(lengths),
+                        jnp.asarray(lengths > 0),
+                        m_t, p_t, mrq_t, mkq_t, mg_t,
+                        k=k, packed=True, **has,
+                    )
+                    carry = fold_agg_device(carry, agg)
+                    packs.append(pack_store_words(
+                        res, max_w=lpad - k + 1))
+                    gots.append(got)
+                else:
+                    carry = align_fold_batch(
+                        carry, probe_tab, member_dev,
+                        jnp.asarray(combined),
+                        jnp.asarray(qual) if use_qual else dummy_qual_dev,
+                        zero_len,
+                        m_t, p_t, mrq_t, mkq_t, mg_t,
+                        k=k, packed=True, len_in_codes=True, **has,
+                    )
                 n_batches += 1
-            return carry, n_batches
+            return carry, n_batches, packs, gots
 
         # same length bucketing as align_packed_reads: the native fill
         # writes rows at this stride, so chunks arrive device-shaped.  In
@@ -854,13 +891,35 @@ class PseudoAlignment:
         lpad = ((max(stream.max_len, k) + 31) // 32) * 32
         while True:
             try:
-                carry, n_batches = run_all(lpad)
+                carry, n_batches, packs, gots = run_all(lpad)
                 break
             except LmaxExceeded:
                 lpad *= 2
 
         if hasattr(stream, "finish_validation"):
             stream.finish_validation()  # NativeParseError discards the run
+        if store_reads and packs:
+            from shotgun_tpu.io import native as _native
+            from shotgun_tpu.io.native import NativeParseError
+
+            n_total = int(sum(gots))
+            raw_fn = getattr(stream, "raw_bytes", None)
+            ids = (_native.fastq_ids(raw_fn(), n_total)
+                   if raw_fn is not None else None)
+            if ids is None:
+                # walker disagreed with the validated stream (should not
+                # happen): discard the run, caller re-parses exactly
+                raise NativeParseError(_native.STATUS_NON_ASCII, 0, 0)
+            words_d = jnp.concatenate([p[0] for p in packs])
+            keys_d = jnp.concatenate([p[1] for p in packs])
+            words_np, keys_np = jax.device_get((words_d, keys_d))
+            stride = packs[0][0].shape[0] if packs else 0
+            sel = np.concatenate([
+                np.arange(j * stride, j * stride + g)
+                for j, g in enumerate(gots)
+            ]) if gots else np.zeros(0, np.int64)
+            self._store_packed_reads(
+                words_np[sel], keys_np[sel], ids, r)
         self._merge_fold_carry(jax.device_get(carry), r)
         self._batch_no += n_batches
 

@@ -176,27 +176,29 @@ def create_alignment_from_reference(
                 mesh=mesh,
             )
         return alignment
-    if not store_reads:
-        # dumpalign fast path: stream chunks from the native scanner with
-        # the validation scan overlapped on a worker thread (PP overlap);
-        # None -> file needs the regex engine (errors or non-ASCII)
-        stream = open_fastq_stream(reads_file, lazy=True)
-        if stream is not None:
-            from shotgun_tpu.io.native import NativeParseError
+    # stream fast path for BOTH modes: chunks fill from the native
+    # scanner with the validation overlapped (PP overlap); the align
+    # task (store_reads=True) additionally collects packed per-read
+    # store words and extracts ids in one native side pass.  None ->
+    # file needs the regex engine (errors or non-ASCII).
+    stream = open_fastq_stream(reads_file, lazy=True)
+    if stream is not None:
+        from shotgun_tpu.io.native import NativeParseError
 
-            alignment = PseudoAlignment(kmer_reference)
-            try:
-                with phase("stream_align"):
-                    alignment.align_stream(
-                        stream, m, p, min_read_quality, min_kmer_quality,
-                        max_genomes, batch_size=batch_size,
-                    )
-                return alignment
-            except NativeParseError:
-                # invalid input discovered by the overlapped scan: redo on
-                # the regex engine, which raises the reference's exact
-                # error types and messages
-                pass
+        alignment = PseudoAlignment(kmer_reference)
+        try:
+            with phase("stream_align"):
+                alignment.align_stream(
+                    stream, m, p, min_read_quality, min_kmer_quality,
+                    max_genomes, batch_size=batch_size,
+                    store_reads=store_reads,
+                )
+            return alignment
+        except NativeParseError:
+            # invalid input discovered by the overlapped scan: redo on
+            # the regex engine, which raises the reference's exact
+            # error types and messages
+            pass
     with phase("fastq_parse"):
         reads_container = FASTAQFile(reads_file).container
     alignment = PseudoAlignment(kmer_reference)

@@ -182,6 +182,11 @@ class FASTAQStream:
             end -= 1
         return max(end - i1 - 1, 0)
 
+    def raw_bytes(self) -> bytes:
+        """The full input buffer (the streamed align task extracts ids
+        from it in one native side pass after validation)."""
+        return self._raw
+
     def start_validation(self) -> None:
         """Kick off the whole-input native scan on a worker thread (the
         ctypes call releases the GIL, so it overlaps the fill loop).

@@ -97,6 +97,9 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.stpu_build_fetch_sets.argtypes = [ctypes.c_void_p, u8p, i32p]
         lib.stpu_build_free.restype = None
         lib.stpu_build_free.argtypes = [ctypes.c_void_p]
+        lib.stpu_fastq_ids.restype = ctypes.c_int64
+        lib.stpu_fastq_ids.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, i64p, u8p]
         lib.stpu_pack2.restype = ctypes.c_int64
         lib.stpu_pack2.argtypes = [
             u8p, ctypes.c_int64, ctypes.c_int64, u8p, i32p,
@@ -461,3 +464,25 @@ def pack2(codes: np.ndarray, gp: int, codes2_out: np.ndarray,
         _ptr(codes2_out, ctypes.c_uint8), _ptr(runs_out, ctypes.c_int32),
         runs_out.size // 2, 2,
     ))
+
+
+def fastq_ids(data: bytes, n_records: int):
+    """Identifier strings of a SCAN-VALIDATED FASTQ byte buffer, in file
+    order (the streamed align-task path extracts ids separately from the
+    packed fill; native/shotgun_io.cpp stpu_fastq_ids).  None when the
+    lib is unavailable or the walk disagrees with the expected record
+    count (caller falls back to the full parse)."""
+    lib = _load()
+    if lib is None:
+        return None
+    p, n = _as_u8(data)
+    id_offsets = np.zeros(n_records + 1, dtype=np.int64)
+    id_buf = np.empty(max(n, 1), dtype=np.uint8)
+    got = int(lib.stpu_fastq_ids(
+        p, n, n_records, _ptr(id_offsets, ctypes.c_int64),
+        _ptr(id_buf, ctypes.c_uint8)))
+    if got != n_records:
+        return None
+    blob = id_buf[: id_offsets[n_records]].tobytes().decode("ascii")
+    offs = id_offsets.tolist()
+    return [blob[offs[i]: offs[i + 1]] for i in range(n_records)]

@@ -281,3 +281,40 @@ def test_store_superbatch_equals_per_batch_path():
     assert pa_small._list_counts == pa_big._list_counts
     for a, b in zip(pa_small._list_flat, pa_big._list_flat):
         np.testing.assert_array_equal(a, b)
+
+
+def test_stream_store_equals_container_store(tmp_path):
+    """align_stream(store_reads=True) -- the streamed align task with
+    native id extraction -- must produce the identical summary, ids,
+    mtypes, and mapping lists as the container store path, including
+    with MRQ filtering active."""
+    import numpy as np
+
+    from shotgun_tpu.aligner import PseudoAlignment
+    from shotgun_tpu.index.build import build_index
+    from shotgun_tpu.io.data_file import open_fastq_stream
+    from shotgun_tpu.reference import KmerReference
+    from shotgun_tpu.utils.synth import synth_genomes, synth_reads, to_fastq
+
+    rng = np.random.default_rng(33)
+    genomes = synth_genomes(rng, 4, 900)
+    reads = synth_reads(rng, genomes, 300, 60)
+    fq = tmp_path / "s.fq"
+    fq.write_text(to_fastq(reads))
+    ref = KmerReference(21, _index=build_index(genomes, 21))
+
+    for mrq in (None, 60):
+        stream = open_fastq_stream(str(fq), lazy=True)
+        assert stream is not None
+        pa_s = PseudoAlignment(ref)
+        pa_s.align_stream(stream, 1, 1, min_read_quality=mrq,
+                          batch_size=32, store_reads=True)
+        pa_c = PseudoAlignment(ref)
+        pa_c.align_packed_reads(reads, 1, 1, min_read_quality=mrq,
+                                batch_size=32, store_reads=True)
+        assert pa_s.get_summary() == pa_c.get_summary()
+        assert pa_s._read_ids == pa_c._read_ids
+        assert pa_s._mtypes == pa_c._mtypes
+        assert pa_s._list_counts == pa_c._list_counts
+        for a, b in zip(pa_s._list_flat, pa_c._list_flat):
+            np.testing.assert_array_equal(a, b)
