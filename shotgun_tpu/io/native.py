@@ -467,7 +467,8 @@ def pack2(codes: np.ndarray, gp: int, codes2_out: np.ndarray,
 
 
 def fastq_ids(data: bytes, n_records: int):
-    """Identifier strings of a SCAN-VALIDATED FASTQ byte buffer, in file
+    """Identifier strings (the reference's unique first-section data,
+    records.py:256) of a SCAN-VALIDATED FASTQ byte buffer, in file
     order (the streamed align-task path extracts ids separately from the
     packed fill; native/shotgun_io.cpp stpu_fastq_ids).  None when the
     lib is unavailable or the walk disagrees with the expected record

@@ -701,7 +701,9 @@ STORE_KEY_INF16 = _np.int16(0x7FFF)
 
 @functools.partial(jax.jit, static_argnames=("max_w",))
 def pack_store_words(res: BatchResult, *, max_w: int):
-    """Compact per-read outputs for the store_reads (align-task) path.
+    """Compact per-read outputs for the store_reads (align-task) path
+    (the data PseudoAlignment.reads carries per read in the reference:
+    mapping type + genomes_mapped_to list, kmer.py:536-549).
 
     Two arrays per batch instead of eight -- on remote-dispatch runtimes
     every fetched leaf is an RPC round trip, and the r4 store path spent
