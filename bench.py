@@ -635,6 +635,7 @@ def _warm_compile_probe():
         # seconds until the server-side cache warms (README "Compile
         # behavior"); warm_s is the min with every run recorded raw
         warm_runs = []
+        probe_t0 = time.perf_counter()
         for i in range(3):
             dt = one_run("warm" if i == 0 else f"warm{i + 1}")
             if dt is None:
@@ -642,6 +643,8 @@ def _warm_compile_probe():
             warm_runs.append(dt)
             if dt <= 15:
                 break
+            if time.perf_counter() - probe_t0 > 420:
+                break  # cap the probe's total retry budget
         if not warm_runs:
             return result
         result["warm_runs_s"] = warm_runs
