@@ -36,7 +36,7 @@ READ_LEN = int(os.environ.get("BENCH_READ_LEN", 150))
 K = int(os.environ.get("BENCH_K", 31))
 # B=16384 measured fastest on v5e (610k reads/s vs 575k at 32768 and
 # 505k at 65536 -- r3 A/B); override with BENCH_BATCH
-BATCH = int(os.environ.get("BENCH_BATCH", 16384))
+BATCH = int(os.environ.get("BENCH_BATCH", 32768))
 SLOTS = int(os.environ.get("BENCH_SLOTS", 0))  # 0 = library default
 
 
@@ -140,6 +140,13 @@ def main():
     log(f"aligned {n_batches * BATCH} reads in {align_s:.3f}s")
     log(f"throughput: {reads_per_s:,.0f} reads/s, {probes_per_s / 1e6:,.1f} M probes/s")
 
+    # release the staged headline buffers before the stream section:
+    # holding ~160 MB of dead batches + AggResults on device costs the
+    # stream passes ~25% (measured r5: 1.0s -> 0.8s per 512k-read pass)
+    del staged, results, agg
+    import gc
+    gc.collect()
+
     # end-to-end: raw FASTQ bytes -> native scan -> streamed chunk fill
     # overlapped with async device dispatch -> folded summary (the actual
     # CLI dumpalign path, PseudoAlignment.align_stream)
@@ -154,8 +161,10 @@ def main():
     fq_path = os.path.join(fq_dir, "bench.fq")
     with open(fq_path, "wb") as f:
         f.write(fq_bytes)
+    fq_mb = len(fq_bytes) / 1e6
+    del fq_bytes  # ~200 MB; the stream passes re-read from the file
     log(f"fastq serialize: {time.perf_counter() - t0:.2f}s "
-        f"({len(fq_bytes) / 1e6:.0f} MB)")
+        f"({fq_mb:.0f} MB)")
 
     # warm the streamed executables (packed codes + device fold differ
     # from the staged headline programs); steady-state is what the metric

@@ -102,6 +102,15 @@ def _prefetch_iter(it, depth: int = 2):
         t.join(timeout=5.0)
 
 
+def _auto_batch(est_reads: int) -> int:
+    """Resolve batch_size=0 (auto): big inputs get the large batch (the
+    per-batch table re-sort amortizes over more query windows -- r5 A/B
+    on 512k reads: B=32768/S=4 646k reads/s median vs B=16384/S=8 567k),
+    small inputs keep the small fast-compiling program (output is batch-
+    size invariant either way; tests pin that)."""
+    return 32768 if est_reads >= 131_072 else 2048
+
+
 class NotValidatingUniqueMapping(Exception):
     def __init__(self, message: str) -> None:
         super().__init__(message)
@@ -486,6 +495,8 @@ class PseudoAlignment:
         set_member = ref.set_member_dense()
         r = idx.num_records
 
+        if batch_size == 0:
+            batch_size = _auto_batch(batch.num_reads)
         n = batch.num_reads
         # bucket the padded read length to a multiple of 32: padded windows
         # are masked by per-read lengths (output-neutral), and executables
@@ -719,6 +730,9 @@ class PseudoAlignment:
         r = idx.num_records
 
         b = batch_size
+        if b == 0:
+            b = _auto_batch(stream.est_records()
+                            if hasattr(stream, "est_records") else 0)
         # numpy scalars: a jnp.int32() literal compiles (and every warm
         # CLI run must LOAD) a convert_element_type program; numpy args
         # transfer without any executable
@@ -750,14 +764,19 @@ class PseudoAlignment:
         # and ship them as ONE [S, b, ...] transfer + ONE lax.scan dispatch
         # -- divides the per-batch RPC count by S on remote-dispatch
         # runtimes while the on-device batch shape stays b.  S=1 disables.
-        # Default 8: the stream path is RPC-latency-bound on the tunneled
-        # runtime (r4 measurement: S=2 217k, S=4 408k, S=8 602k reads/s
-        # device-side at B=16384); past ~8 the single blob stops
-        # overlapping fill with compute and regresses.
+        # Default 8 at b <= 16384 (r4 measurement: S=2 217k, S=4 408k,
+        # S=8 602k reads/s device-side at B=16384; past ~8 the single
+        # blob stops overlapping fill with compute and regresses), 4 at
+        # bigger b (r5 A/B on the 512k-read workload: B=32768/S=4 646k
+        # median vs B=16384/S=8 567k -- the larger batch amortizes the
+        # per-batch table re-sort; B=65536 regresses at any S).
+        sb_default = 8 if b <= 16384 else 4
         try:
-            sb_env = int(os.environ.get("SHOTGUN_TPU_SUPERBATCH", "8"))
+            sb_env = int(os.environ.get("SHOTGUN_TPU_SUPERBATCH",
+                                        str(sb_default)))
         except ValueError:
-            sb_env = 8  # malformed env value: fall back (ADVICE.md r3 #5)
+            # malformed env value: fall back (ADVICE.md r3 #5)
+            sb_env = sb_default
         sb = max(sb_env, 1) \
             if hasattr(stream, "chunks_packed") else 1
         if sb > 1 and hasattr(stream, "est_records"):

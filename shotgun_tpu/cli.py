@@ -48,7 +48,10 @@ from shotgun_tpu.io.data_file import (
 from shotgun_tpu.reference import KDBFormatError, KmerReference
 from shotgun_tpu.utils.profiling import PROFILER, phase
 
-DEFAULT_BATCH_SIZE = 2048
+# 0 = auto: aligner._auto_batch picks 32768 for big inputs (amortizes
+# the per-batch table re-sort) and 2048 for small ones (small program,
+# fast cold compile, warm executable already cached)
+DEFAULT_BATCH_SIZE = 0
 
 
 # ---------------------------------------------------------------------------
@@ -100,7 +103,8 @@ def parse_arguments(args: Optional[List[str]] = None) -> argparse.Namespace:
     parser.add_argument("--filter-similar", action="store_true")
     parser.add_argument("--similarity-threshold", type=float)
     parser.add_argument("--batch-size", type=int, default=DEFAULT_BATCH_SIZE,
-                        help="device batch size (TPU tuning; no effect on output)")
+                        help="device batch size, 0 = auto by input size "
+                             "(TPU tuning; no effect on output)")
     parser.add_argument("--profile", action="store_true",
                         help="print per-phase timing/throughput to stderr")
     return parser.parse_args(args)
@@ -319,10 +323,15 @@ def build_reference_align_and_dump(
         # for >8M-key device-built DBs) no longer fits the HBM budget,
         # so aligns would fall back to the per-batch table re-sort --
         # the host build + host hash table serves that regime
-        lo_gate = int(os.environ.get(
-            "SHOTGUN_TPU_DEVICE_BUILD_MIN", 4_000_000))
-        hi_gate = int(os.environ.get(
-            "SHOTGUN_TPU_DEVICE_BUILD_MAX", 64_000_000))
+        try:
+            lo_gate = int(os.environ.get(
+                "SHOTGUN_TPU_DEVICE_BUILD_MIN", 4_000_000))
+            hi_gate = int(os.environ.get(
+                "SHOTGUN_TPU_DEVICE_BUILD_MAX", 64_000_000))
+        except ValueError:
+            # malformed env value: fall back to the defaults rather than
+            # crash the CLI (same convention as SHOTGUN_TPU_SUPERBATCH)
+            lo_gate, hi_gate = 4_000_000, 64_000_000
         if lo_gate <= genomes.codes.size <= hi_gate:
             with phase("db_build_device"):
                 kmer_reference = KmerReference.from_device_build(

@@ -475,10 +475,13 @@ def device_hash_table(built: dict):
     n = int(built["klo"].shape[0])
     budget = int(os.environ.get("SHOTGUN_TPU_HASH_HBM_BUDGET",
                                 10_000_000_000))
-    if nb * HASH_SLOTS * 16 + 8 * n * 4 > budget:
-        return None
     try:
         for _ in range(3):
+            # re-checked on every stash-overflow doubling, not just the
+            # first attempt: a retry at 2-4x the vetted nb would exceed
+            # the budget the pre-check exists to enforce
+            if nb * HASH_SLOTS * 16 + 8 * n * 4 > budget:
+                return None
             table, stash, n_stash_d = _hash_table_from_rows(
                 built["klo"], built["khi"], built["sid"], built["gc"],
                 nb=nb)

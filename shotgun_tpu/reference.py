@@ -582,7 +582,8 @@ class KmerReference:
                 # re-sorts the whole table into every batch and collapses
                 # above ~8M keys, so the one-time hash assembly pays for
                 # itself within one big align batch)
-                if "hash16" not in self._device_tables:
+                if ("hash16" not in self._device_tables
+                        and "hash16_failed" not in self._device_tables):
                     from shotgun_tpu.index.device_build import (
                         device_hash_table,
                     )
@@ -592,6 +593,11 @@ class KmerReference:
                     if ht is not None:
                         self._device_tables["hash16"] = HashTableDev(
                             table=ht[0], stash=ht[1])
+                    else:
+                        # negative-cache the failure (HBM budget, stash
+                        # overflow): retrying seconds of device sorts on
+                        # every subsequent align call would never succeed
+                        self._device_tables["hash16_failed"] = True
                 big = "hash16" in self._device_tables
             method = "hash16" if big else "sort"
         # cache per method: rebuilding + re-uploading the table (16 B/key
