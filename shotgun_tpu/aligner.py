@@ -1008,12 +1008,13 @@ class PseudoAlignment:
         in_sorted = np.take_along_axis(in_list, order, axis=1)
 
         # one row-major boolean select yields every read's mapping list
-        # (sorted-key order within each row) concatenated; np.split hands
-        # back per-read views without a per-row fancy-index pass
+        # (sorted-key order within each row) concatenated; the store
+        # keeps the whole-batch BLOCK (``_list_flat`` is only ever
+        # concatenated -- save(), load(), summary never index per read),
+        # so no np.split into 500k+ per-read views on the hot path
         in_sorted &= ~filtered[:, None]
         counts = in_sorted.sum(axis=1)
         flat_all = order[in_sorted]
-        splits = np.split(flat_all, np.cumsum(counts)[:-1])
 
         # bulk duplicate-id check: set ops instead of a per-read probe --
         # the slow per-read walk runs only to name the offending id
@@ -1025,6 +1026,8 @@ class PseudoAlignment:
         new_ids = set(kept_ids)
         if len(new_ids) != len(kept_ids) or not new_ids.isdisjoint(
                 self._seen_ids):
+            # rare error path: materialize per-read views only here
+            splits = np.split(flat_all, np.cumsum(counts)[:-1])
             for i, rid in zip(kept_idx, kept_ids):
                 if rid in self._seen_ids:
                     raise AddingExistingRead(
@@ -1039,15 +1042,16 @@ class PseudoAlignment:
                                  "not found in walk")
         self._seen_ids |= new_ids
         self._read_ids.extend(kept_ids)
+        # filtered rows contribute zero elements to flat_all (their
+        # in_sorted row is all-False), so the block concatenation equals
+        # the per-read-view concatenation either way
+        self._list_flat.append(flat_all)
         if filtered.any():
             keep = ~filtered
             self._mtypes.extend(mtype[keep].tolist())
-            self._list_flat.extend(
-                s for s, kp in zip(splits, keep) if kp)
             self._list_counts.extend(counts[keep].tolist())
         else:
             self._mtypes.extend(mtype.tolist())
-            self._list_flat.extend(splits)
             self._list_counts.extend(counts.tolist())
 
     # -- summary (reference kmer.py:622-657) --------------------------------
@@ -1150,9 +1154,8 @@ class PseudoAlignment:
                 out._mtypes = data["mtypes"].tolist()
                 offsets = data["list_offsets"]
                 flat = data["list_flat"]
-                # np.split hands back per-read views with one C pass
-                out._list_flat = (np.split(flat, offsets[1:-1])
-                                  if len(offsets) > 1 else [])
+                # one block: _list_flat is only ever concatenated
+                out._list_flat = [flat] if flat.size else []
                 out._list_counts = np.diff(offsets).tolist()
                 out._seen_ids = set(out._read_ids)
                 out._unique_by_rec = data["unique_by_rec"]
