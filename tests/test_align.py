@@ -318,3 +318,39 @@ def test_stream_store_equals_container_store(tmp_path):
         assert pa_s._list_counts == pa_c._list_counts
         for a, b in zip(pa_s._list_flat, pa_c._list_flat):
             np.testing.assert_array_equal(a, b)
+
+
+def test_auto_batch_size_resolution(tmp_path):
+    """batch_size=0 (the CLI default) resolves by input size and is
+    output-invariant vs an explicit batch size."""
+    import numpy as np
+
+    from shotgun_tpu.aligner import PseudoAlignment, _auto_batch
+    from shotgun_tpu.index.build import build_index
+    from shotgun_tpu.io.data_file import open_fastq_stream
+    from shotgun_tpu.reference import KmerReference
+    from shotgun_tpu.utils.synth import synth_genomes, synth_reads, to_fastq
+
+    assert _auto_batch(0) == 2048
+    assert _auto_batch(131_071) == 2048
+    assert _auto_batch(131_072) == 32768
+
+    rng = np.random.default_rng(44)
+    genomes = synth_genomes(rng, 3, 800)
+    reads = synth_reads(rng, genomes, 200, 60)
+    fq = tmp_path / "a.fq"
+    fq.write_text(to_fastq(reads))
+    ref = KmerReference(21, _index=build_index(genomes, 21))
+
+    pa_auto = PseudoAlignment(ref)
+    pa_auto.align_stream(open_fastq_stream(str(fq), lazy=True), 1, 1,
+                         batch_size=0)
+    pa_fixed = PseudoAlignment(ref)
+    pa_fixed.align_stream(open_fastq_stream(str(fq), lazy=True), 1, 1,
+                          batch_size=64)
+    assert pa_auto.get_summary() == pa_fixed.get_summary()
+
+    pa_packed = PseudoAlignment(ref)
+    pa_packed.align_packed_reads(reads, 1, 1, batch_size=0,
+                                 store_reads=False)
+    assert pa_packed.get_summary() == pa_fixed.get_summary()
