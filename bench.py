@@ -34,8 +34,8 @@ GENOME_LEN = int(os.environ.get("BENCH_GENOME_LEN", 200_000))
 N_READS = int(os.environ.get("BENCH_READS", 524_288))
 READ_LEN = int(os.environ.get("BENCH_READ_LEN", 150))
 K = int(os.environ.get("BENCH_K", 31))
-# B=16384 measured fastest on v5e (610k reads/s vs 575k at 32768 and
-# 505k at 65536 -- r3 A/B); override with BENCH_BATCH
+# B=32768/S=4 measured fastest on v5e (r5 A/B: 646k reads/s median vs
+# 567k at 16384/S=8, 488k at 65536); override with BENCH_BATCH
 BATCH = int(os.environ.get("BENCH_BATCH", 32768))
 SLOTS = int(os.environ.get("BENCH_SLOTS", 0))  # 0 = library default
 
@@ -74,79 +74,12 @@ def main():
     log(f"DB build (warm): {build_s:.2f}s  ({total_mbp / build_s:.2f} Mbp/s, "
         f"{idx.num_kmers} kmers, {idx.num_sets} sets)")
 
-    t0 = time.perf_counter()
     ref = KmerReference(K, _index=idx)
-    method = os.environ.get("SHOTGUN_TPU_PROBE", "sort")
-    if SLOTS and method == "hash":
-        from shotgun_tpu.ops.probe import HashTableDev
-        pt = build_probe_table(idx.kmer_lo, idx.kmer_hi, idx.set_id,
-                               idx.genome_counts(), slots_per_bucket=SLOTS)
-        probe_tab = HashTableDev(table=jnp.asarray(pt.table),
-                                 stash=jnp.asarray(pt.stash))
-        log(f"hash table: {pt.n_buckets} buckets, stash={pt.stash.shape[0]}, "
-            f"{pt.table.nbytes / 1e6:.1f} MB")
-    else:
-        probe_tab = ref.device_probe_tables(method)
-        # .nbytes on the jax array -- np.asarray here would fetch the whole
-        # table back over the device link just to log its size
-        nbytes = sum(a.nbytes for a in jax.tree.leaves(probe_tab))
-        log(f"probe tables ({method}): {nbytes / 1e6:.1f} MB")
-    member = ref.set_member_dense()
-    log(f"probe prep: {time.perf_counter() - t0:.2f}s")
 
-    member_d = jnp.asarray(member)
-    zero = jnp.int32(0)
-    one = jnp.int32(1)
-
-    def run_batch(codes_d, qual_d, len_d, rv_d):
-        return align_batch(
-            probe_tab, member_d, codes_d, qual_d, len_d, rv_d,
-            one, one, zero, zero, zero,
-            k=K, has_mrq=False, has_mkq=False, has_mg=False,
-            with_aggregate=True,
-        )[1]
-
-    # pre-stage batches on device
-    n_batches = N_READS // BATCH
-    staged = []
-    t0 = time.perf_counter()
-    for i in range(n_batches):
-        sl = slice(i * BATCH, (i + 1) * BATCH)
-        staged.append((
-            jnp.asarray(reads.codes[sl]),
-            jnp.asarray(reads.qual[sl]),
-            jnp.asarray(reads.lengths[sl]),
-            jnp.ones(BATCH, dtype=bool),
-        ))
-    jax.block_until_ready(staged[-1])
-    log(f"staging {n_batches} batches: {time.perf_counter() - t0:.2f}s")
-
-    # compile + warmup
-    t0 = time.perf_counter()
-    agg = run_batch(*staged[0])
-    jax.block_until_ready(agg)
-    compile_s = time.perf_counter() - t0
-    log(f"compile+first batch: {compile_s:.2f}s")
-    log(f"sanity: unique={int(agg.n_unique)} amb={int(agg.n_ambiguous)} "
-        f"unmapped={int(agg.n_unmapped)} of {BATCH}")
-
-    # timed steady-state: async dispatch all, block at end
-    t0 = time.perf_counter()
-    results = [run_batch(*s) for s in staged]
-    jax.block_until_ready(results)
-    align_s = time.perf_counter() - t0
-    reads_per_s = n_batches * BATCH / align_s
-    probes_per_s = reads_per_s * (READ_LEN - K + 1)
-    log(f"aligned {n_batches * BATCH} reads in {align_s:.3f}s")
-    log(f"throughput: {reads_per_s:,.0f} reads/s, {probes_per_s / 1e6:,.1f} M probes/s")
-
-    # release the staged headline buffers before the stream section:
-    # holding ~160 MB of dead batches + AggResults on device costs the
-    # stream passes ~25% (measured r5: 1.0s -> 0.8s per 512k-read pass)
-    del staged, results, agg
-    import gc
-    gc.collect()
-
+    # The RPC-sensitive stream sections run FIRST: in-process
+    # measurements degrade later in the bench lifetime (r5: e2e
+    # passes 1.3-1.6s after the staged headline vs 0.8-1.1s in a
+    # fresh process; the staged device-side headline is immune).
     # end-to-end: raw FASTQ bytes -> native scan -> streamed chunk fill
     # overlapped with async device dispatch -> folded summary (the actual
     # CLI dumpalign path, PseudoAlignment.align_stream)
@@ -215,6 +148,9 @@ def main():
         warm_al = PseudoAlignment(ref)
         warm_al.align_stream(open_fastq_stream(fq_path, lazy=True), 1, 1,
                              batch_size=BATCH, store_reads=True)
+        # warm the save too: the first ~80 MB .aln write pays the page-
+        # cache/file-system cold cost (measured 2.9s first vs 0.3s after)
+        warm_al.save(aln_path)
         del warm_al
         # timed: the CLI -t align route (stream fill + packed store
         # words + native id side pass) then .aln save, then -a load
@@ -248,6 +184,78 @@ def main():
     except Exception as exc:
         align_task = {"error": repr(exc)}
         log(f"align task bench failed: {exc!r}")
+
+    t0 = time.perf_counter()
+    method = os.environ.get("SHOTGUN_TPU_PROBE", "sort")
+    if SLOTS and method == "hash":
+        from shotgun_tpu.ops.probe import HashTableDev
+        pt = build_probe_table(idx.kmer_lo, idx.kmer_hi, idx.set_id,
+                               idx.genome_counts(), slots_per_bucket=SLOTS)
+        probe_tab = HashTableDev(table=jnp.asarray(pt.table),
+                                 stash=jnp.asarray(pt.stash))
+        log(f"hash table: {pt.n_buckets} buckets, stash={pt.stash.shape[0]}, "
+            f"{pt.table.nbytes / 1e6:.1f} MB")
+    else:
+        probe_tab = ref.device_probe_tables(method)
+        # .nbytes on the jax array -- np.asarray here would fetch the whole
+        # table back over the device link just to log its size
+        nbytes = sum(a.nbytes for a in jax.tree.leaves(probe_tab))
+        log(f"probe tables ({method}): {nbytes / 1e6:.1f} MB")
+    member = ref.set_member_dense()
+    log(f"probe prep: {time.perf_counter() - t0:.2f}s")
+
+    member_d = jnp.asarray(member)
+    zero = jnp.int32(0)
+    one = jnp.int32(1)
+
+    def run_batch(codes_d, qual_d, len_d, rv_d):
+        return align_batch(
+            probe_tab, member_d, codes_d, qual_d, len_d, rv_d,
+            one, one, zero, zero, zero,
+            k=K, has_mrq=False, has_mkq=False, has_mg=False,
+            with_aggregate=True,
+        )[1]
+
+    # pre-stage batches on device
+    n_batches = N_READS // BATCH
+    staged = []
+    t0 = time.perf_counter()
+    for i in range(n_batches):
+        sl = slice(i * BATCH, (i + 1) * BATCH)
+        staged.append((
+            jnp.asarray(reads.codes[sl]),
+            jnp.asarray(reads.qual[sl]),
+            jnp.asarray(reads.lengths[sl]),
+            jnp.ones(BATCH, dtype=bool),
+        ))
+    jax.block_until_ready(staged[-1])
+    log(f"staging {n_batches} batches: {time.perf_counter() - t0:.2f}s")
+
+    # compile + warmup
+    t0 = time.perf_counter()
+    agg = run_batch(*staged[0])
+    jax.block_until_ready(agg)
+    compile_s = time.perf_counter() - t0
+    log(f"compile+first batch: {compile_s:.2f}s")
+    log(f"sanity: unique={int(agg.n_unique)} amb={int(agg.n_ambiguous)} "
+        f"unmapped={int(agg.n_unmapped)} of {BATCH}")
+
+    # timed steady-state: async dispatch all, block at end
+    t0 = time.perf_counter()
+    results = [run_batch(*s) for s in staged]
+    jax.block_until_ready(results)
+    align_s = time.perf_counter() - t0
+    reads_per_s = n_batches * BATCH / align_s
+    probes_per_s = reads_per_s * (READ_LEN - K + 1)
+    log(f"aligned {n_batches * BATCH} reads in {align_s:.3f}s")
+    log(f"throughput: {reads_per_s:,.0f} reads/s, {probes_per_s / 1e6:,.1f} M probes/s")
+
+    # release the staged headline buffers (holding ~160 MB of dead
+    # batches + AggResults on device measurably slows later sections)
+    del staged, results, agg
+    import gc
+    gc.collect()
+
 
     # per-stage device profile of the default path (VERDICT r3 #5): is
     # XLA at the bound, and where does align time go?  Times each stage
