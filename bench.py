@@ -109,10 +109,9 @@ def main():
     # timed region is the REAL CLI dumpalign read path (cli.py:177):
     # lazy open (validation scan overlaps the fill/dispatch loop on a
     # worker thread), native packed chunk fill, fused align dispatch,
-    # device-resident fold, one fetch, summary.  Best of 3 passes: the
-    # tunneled runtime's RPC latency swings run-to-run by 2x (r4
-    # measurement: 0.52s..1.4s for identical work), and the metric claims
-    # steady-state throughput, not tunnel weather.
+    # device-resident fold, one fetch, summary.  Median of 7 passes: the
+    # tunneled runtime's RPC latency swings run-to-run by 2x, and the
+    # metric claims steady-state throughput, not tunnel weather.
     pass_times = []
     for rep in range(7):
         t0 = time.perf_counter()
